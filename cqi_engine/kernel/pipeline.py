@@ -1,0 +1,128 @@
+"""Single-node (pandas) composition of the scoring pipeline.
+
+Mirrors the reference's main() stage order
+(ref:cycling_quality_index.py:1444-1813) over the vectorized kernels.  The
+Spark pipeline (cqi_engine.operators.pipeline) reuses every kernel function;
+this composition exists so the full golden corpus runs in-process under
+pytest and inside mapInPandas batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .. import config as C
+from ..parse import falsy, get_number, truthy
+from . import rules
+from .offsets import run_offset_stage
+from .sidepath import run_sidepath_stage
+
+
+def score_ways(ways: pd.DataFrame, with_sidepath: bool = True) -> pd.DataFrame:
+    """ways: one row per OSM way with tag columns (+ geom_metric when
+    with_sidepath).  Returns the scored table with OUTPUT_COLUMNS."""
+    df = rules.ensure_attributes(ways.copy())
+
+    # stage 1: sidepath detection (needs geometry)
+    if with_sidepath and "geom_metric" in df.columns:
+        df = run_sidepath_stage(df)
+    else:
+        df = rules.ensure_attributes(df)
+        non_path = ~df["highway"].isin(C.PATH_HIGHWAYS).fillna(False)
+        df.loc[non_path, "proc_highway"] = df.loc[non_path, "highway"]
+        from .sidepath import determine_maxspeed_value
+        df.loc[non_path, "proc_maxspeed"] = [
+            determine_maxspeed_value(ms, hw)
+            for ms, hw in zip(df.loc[non_path, "maxspeed"],
+                              df.loc[non_path, "highway"])]
+
+    # stage 2: offset side rows
+    df = run_offset_stage(df)
+
+    # stage 3: deletes + way type
+    df = df[~rules.delete_mask(df)].reset_index(drop=True)
+    df["way_type"] = rules.classify_way_type(df)
+
+    # stage 4: attribute derivation
+    proc_oneway = rules.derive_oneway(df, df["way_type"])
+    df["proc_oneway"] = proc_oneway
+    proc_width, miss_w = rules.calc_width(df, df["way_type"], proc_oneway)
+    df["proc_width"] = proc_width
+    proc_surface, miss_surface, sb_used = rules.derive_surface(
+        df, df["way_type"])
+    df["proc_surface"] = proc_surface
+    proc_smoothness, miss_smoothness = rules.derive_smoothness(
+        df, df["way_type"])
+    miss_smoothness = miss_smoothness & ~sb_used
+    df["proc_smoothness"] = proc_smoothness
+    tm_l, tm_r = rules.derive_traffic_modes(df, df["way_type"])
+    df["proc_traffic_mode_left"] = tm_l
+    df["proc_traffic_mode_right"] = tm_r
+    sep_l, sep_r = rules.derive_separation(df, tm_l, tm_r)
+    df["proc_separation_left"] = sep_l
+    df["proc_separation_right"] = sep_r
+    buf_l, buf_r = rules.derive_buffer(df, tm_l, tm_r)
+    df["proc_buffer_left"] = buf_l
+    df["proc_buffer_right"] = buf_r
+    mandatory, proc_sign = rules.derive_mandatory(df, df["way_type"],
+                                                  proc_oneway)
+    df["proc_mandatory"] = mandatory
+    df["proc_traffic_sign"] = proc_sign
+    df["filter_usable"] = np.where(
+        mandatory.isin(["prohibited", "use_sidepath"]), 0, 1)
+    df["filter_way_type"] = df["way_type"].map({
+        "cycle path": "separated", "cycle track": "separated",
+        "shared path": "separated", "segregated path": "separated",
+        "shared footway": "separated", "cycle lane (protected)": "separated",
+        "cycle lane (advisory)": "cycle lanes",
+        "cycle lane (exclusive)": "cycle lanes",
+        "cycle lane (central)": "cycle lanes",
+        "link": "cycle lanes", "crossing": "cycle lanes",
+        "bicycle road": "bicycle road",
+        "shared road": "shared traffic",
+        "shared traffic lane": "shared traffic",
+        "shared bus lane": "shared traffic",
+        "track or service": "shared traffic",
+    })
+
+    # stage 5: scoring
+    scored = rules.score(df)
+
+    # data_missing assembly (append order mirrors the reference call order)
+    missing_lists = []
+    for i in range(len(scored)):
+        entries = []
+        if miss_w["width:lanes"].iat[i]:
+            entries.append("width:lanes")
+        if miss_w["width"].iat[i]:
+            entries.append("width")
+        if miss_w["width2"].iat[i]:
+            entries.append("width")
+        if miss_w["parking"].iat[i]:
+            entries.append("parking")
+        if miss_surface.iat[i]:
+            entries.append("surface")
+        if miss_smoothness.iat[i]:
+            entries.append("smoothness")
+        if scored["_miss_crossing"].iat[i]:
+            entries.append("crossing")
+        if scored["_miss_markings"].iat[i]:
+            entries.append("crossing_markings")
+        if scored["_miss_lit"].iat[i]:
+            entries.append("lit")
+        missing_lists.append(entries)
+    scored["data_missing"] = [";".join(e) for e in missing_lists]
+    scored["data_incompleteness"] = [
+        float(sum(C.DATA_INCOMPLETENESS_WEIGHT.get(e, 0) for e in entries))
+        for entries in missing_lists
+    ]
+    return scored
+
+
+def final_projection(scored: pd.DataFrame) -> pd.DataFrame:
+    out = scored[C.OUTPUT_COLUMNS].copy()
+    for int_col in ("index", "index_10", "stress_level", "base_index",
+                    "proc_maxspeed", "filter_usable"):
+        out[int_col] = get_number(out[int_col])
+    return out
