@@ -2,9 +2,10 @@
 
 Mirrors the reference's main() stage order
 (ref:cycling_quality_index.py:1444-1813) over the vectorized kernels.  The
-Spark pipeline (cqi_engine.operators.pipeline) reuses every kernel function;
-this composition exists so the full golden corpus runs in-process under
-pytest and inside mapInPandas batches.
+Spark pipeline (cqi_engine.operators.pipeline) distributes stage 1 (the
+spatial join) as real shuffles and then runs `_post_sidepath_stages` —
+everything row-local — inside mapInPandas Arrow batches.  Keeping one shared
+kernel guarantees the Spark output matches the golden-verified pandas path.
 """
 
 from __future__ import annotations
@@ -13,38 +14,38 @@ import numpy as np
 import pandas as pd
 
 from .. import config as C
-from ..parse import falsy, get_number, truthy
+from ..parse import get_number
 from . import rules
 from .offsets import run_offset_stage
-from .sidepath import run_sidepath_stage
+from .sidepath import determine_maxspeed_value, run_sidepath_stage
+
+_FILTER_WAY_TYPE = {
+    "cycle path": "separated", "cycle track": "separated",
+    "shared path": "separated", "segregated path": "separated",
+    "shared footway": "separated", "cycle lane (protected)": "separated",
+    "cycle lane (advisory)": "cycle lanes",
+    "cycle lane (exclusive)": "cycle lanes",
+    "cycle lane (central)": "cycle lanes",
+    "link": "cycle lanes", "crossing": "cycle lanes",
+    "bicycle road": "bicycle road",
+    "shared road": "shared traffic",
+    "shared traffic lane": "shared traffic",
+    "shared bus lane": "shared traffic",
+    "track or service": "shared traffic",
+}
 
 
-def score_ways(ways: pd.DataFrame, with_sidepath: bool = True) -> pd.DataFrame:
-    """ways: one row per OSM way with tag columns (+ geom_metric when
-    with_sidepath).  Returns the scored table with OUTPUT_COLUMNS."""
-    df = rules.ensure_attributes(ways.copy())
+def _post_sidepath_stages(df: pd.DataFrame,
+                          project: bool = True) -> pd.DataFrame:
+    """Stages 2-5: offset explode, deletes, way type, rules, scoring.
 
-    # stage 1: sidepath detection (needs geometry)
-    if with_sidepath and "geom_metric" in df.columns:
-        df = run_sidepath_stage(df)
-    else:
-        df = rules.ensure_attributes(df)
-        non_path = ~df["highway"].isin(C.PATH_HIGHWAYS).fillna(False)
-        df.loc[non_path, "proc_highway"] = df.loc[non_path, "highway"]
-        from .sidepath import determine_maxspeed_value
-        df.loc[non_path, "proc_maxspeed"] = [
-            determine_maxspeed_value(ms, hw)
-            for ms, hw in zip(df.loc[non_path, "maxspeed"],
-                              df.loc[non_path, "highway"])]
-
-    # stage 2: offset side rows
+    Entirely row-local — safe per Arrow batch under mapInPandas.
+    """
+    df = rules.ensure_attributes(df.copy())
     df = run_offset_stage(df)
-
-    # stage 3: deletes + way type
     df = df[~rules.delete_mask(df)].reset_index(drop=True)
     df["way_type"] = rules.classify_way_type(df)
 
-    # stage 4: attribute derivation
     proc_oneway = rules.derive_oneway(df, df["way_type"])
     df["proc_oneway"] = proc_oneway
     proc_width, miss_w = rules.calc_width(df, df["way_type"], proc_oneway)
@@ -71,22 +72,8 @@ def score_ways(ways: pd.DataFrame, with_sidepath: bool = True) -> pd.DataFrame:
     df["proc_traffic_sign"] = proc_sign
     df["filter_usable"] = np.where(
         mandatory.isin(["prohibited", "use_sidepath"]), 0, 1)
-    df["filter_way_type"] = df["way_type"].map({
-        "cycle path": "separated", "cycle track": "separated",
-        "shared path": "separated", "segregated path": "separated",
-        "shared footway": "separated", "cycle lane (protected)": "separated",
-        "cycle lane (advisory)": "cycle lanes",
-        "cycle lane (exclusive)": "cycle lanes",
-        "cycle lane (central)": "cycle lanes",
-        "link": "cycle lanes", "crossing": "cycle lanes",
-        "bicycle road": "bicycle road",
-        "shared road": "shared traffic",
-        "shared traffic lane": "shared traffic",
-        "shared bus lane": "shared traffic",
-        "track or service": "shared traffic",
-    })
+    df["filter_way_type"] = df["way_type"].map(_FILTER_WAY_TYPE)
 
-    # stage 5: scoring
     scored = rules.score(df)
 
     # data_missing assembly (append order mirrors the reference call order)
@@ -117,7 +104,27 @@ def score_ways(ways: pd.DataFrame, with_sidepath: bool = True) -> pd.DataFrame:
         float(sum(C.DATA_INCOMPLETENESS_WEIGHT.get(e, 0) for e in entries))
         for entries in missing_lists
     ]
+    if project:
+        return final_projection(scored)
     return scored
+
+
+def score_ways(ways: pd.DataFrame, with_sidepath: bool = True) -> pd.DataFrame:
+    """ways: one row per OSM way with tag columns (+ geom_metric when
+    with_sidepath).  Returns the scored table (unprojected)."""
+    df = rules.ensure_attributes(ways.copy())
+
+    if with_sidepath and "geom_metric" in df.columns:
+        df = run_sidepath_stage(df)
+    else:
+        non_path = ~df["highway"].isin(C.PATH_HIGHWAYS).fillna(False)
+        df.loc[non_path, "proc_highway"] = df.loc[non_path, "highway"]
+        df.loc[non_path, "proc_maxspeed"] = [
+            determine_maxspeed_value(ms, hw)
+            for ms, hw in zip(df.loc[non_path, "maxspeed"],
+                              df.loc[non_path, "highway"])]
+
+    return _post_sidepath_stages(df, project=False)
 
 
 def final_projection(scored: pd.DataFrame) -> pd.DataFrame:

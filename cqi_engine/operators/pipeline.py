@@ -1,0 +1,341 @@
+"""Distributed scoring pipeline (Spark DataFrame composition).
+
+Plan shape (SURVEY.md §3.1 engine lifecycle):
+
+    pages scan ──mapInPandas──> way table (tag cols + lonlat geometry)
+        ├─ paths ──mapInPandas──> check points (way_id, cell, x, y)   [J1+J2]
+        ├─ roads ──mapInPandas──> cell-exploded road index            [J3/J4 prep]
+        ├─ points ⋈ roads ON cell (+ null-safe layer) ── hash join    [shuffle 1]
+        │      └─ exact dwithin(22 m) refine, vectorized              [J4 refine]
+        ├─ groupBy(way_id[, key]) count/max/argmax aggregates         [shuffle 2]
+        │      (two-level: partial map-side aggregation + final merge)
+        └─ ways ⋈ agg ON way_id ── writeback                          [shuffle 3]
+    ──mapInPandas──> offset explode + deletes + way type + rules + score
+    (row-local kernel; zero further shuffles)
+
+Skew posture: the cell join runs under AQE skew-join; dense-city cells can
+additionally be salted via `salt_hot_cells` (explicit histogram-driven
+mechanism, see operators/skew.py).
+
+All heavy per-row logic reuses the pandas kernels from cqi_engine.kernel —
+the exact code path proven bit-for-bit against the reference golden corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import config as C
+from ..geometry import (lonlat_to_metric, point_to_polyline_dist,
+                        sample_points_along, segment_bbox_cells)
+from ..kernel import rules
+from ..kernel.offsets import run_offset_stage
+from ..kernel.sidepath import determine_maxspeed_value
+from . import cells
+
+WAY_TAG_COLUMNS = list(C.TAG_WHITELIST)
+
+_POINTS_SCHEMA = T.StructType([
+    T.StructField("way_id", T.StringType()),
+    T.StructField("layer", T.StringType()),
+    T.StructField("pt_seq", T.IntegerType()),
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+    T.StructField("cell", T.LongType()),
+])
+
+_ROAD_CELLS_SCHEMA = T.StructType([
+    T.StructField("road_id", T.StringType()),
+    T.StructField("road_highway", T.StringType()),
+    T.StructField("road_name", T.StringType()),
+    T.StructField("road_maxspeed", T.DoubleType()),
+    T.StructField("road_layer", T.StringType()),
+    T.StructField("cell", T.LongType()),
+    T.StructField("road_geom", T.ArrayType(T.ArrayType(T.DoubleType()))),
+])
+
+
+def _metric(geom) -> np.ndarray:
+    # Arrow hands array<array<double>> as an object ndarray of ndarrays
+    g = np.vstack([np.asarray(p, dtype=float) for p in geom])
+    x, y = lonlat_to_metric(g[:, 0], g[:, 1])
+    return np.column_stack([x, y])
+
+
+def sample_points(paths: DataFrame) -> DataFrame:
+    """J1+J2: check points every 100 m + end vertex, cell-assigned."""
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("way_id", "layer", "pt_seq", "x", "y")}
+            for wid, layer, geom in zip(pdf["id"], pdf["layer"],
+                                        pdf["geom_lonlat"]):
+                pts = sample_points_along(_metric(geom),
+                                          C.SIDEPATH_SAMPLE_SPACING_M)
+                for k, (x, y) in enumerate(pts):
+                    out["way_id"].append(wid)
+                    out["layer"].append(layer)
+                    out["pt_seq"].append(k)
+                    out["x"].append(float(x))
+                    out["y"].append(float(y))
+            res = pd.DataFrame(out)
+            res["pt_seq"] = res["pt_seq"].astype("int32") if len(res) else res.get("pt_seq")
+            res["cell"] = (cells.cell_id_np(res["x"].to_numpy(float),
+                                            res["y"].to_numpy(float))
+                           if len(res) else pd.Series([], dtype="int64"))
+            yield res
+
+    return paths.select("id", "layer", "geom_lonlat").mapInPandas(
+        gen, _POINTS_SCHEMA)
+
+
+def road_cell_index(roads: DataFrame) -> DataFrame:
+    """Explode each road over the 64 m cells its 22 m-dilated envelope covers.
+
+    This is the distributed替 for a broadcast spatial index: after this map,
+    the dwithin join is a plain hash equi-join on cell_id.
+    """
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("road_id", "road_highway", "road_name",
+                                    "road_maxspeed", "road_layer", "cell",
+                                    "road_geom")}
+            for rid, hw, name, ms, layer, geom in zip(
+                    pdf["id"], pdf["highway"], pdf["name"], pdf["maxspeed"],
+                    pdf["layer"], pdf["geom_lonlat"]):
+                metric = _metric(geom)
+                try:
+                    msv = float(ms) if ms not in (None, "") else None
+                except (TypeError, ValueError):
+                    msv = None
+                for (ix, iy) in segment_bbox_cells(
+                        metric, cells.cell_size(cells.JOIN_RES),
+                        C.SIDEPATH_BUFFER_SIZE_M):
+                    rows["road_id"].append(rid)
+                    rows["road_highway"].append(hw)
+                    rows["road_name"].append(name)
+                    rows["road_maxspeed"].append(msv)
+                    rows["road_layer"].append(layer)
+                    rows["cell"].append(
+                        (cells.JOIN_RES * cells.SHIFT + ix + cells.OFFSET)
+                        * cells.SHIFT + iy + cells.OFFSET)
+                    rows["road_geom"].append(metric.tolist())
+            yield pd.DataFrame(rows)
+
+    return roads.select("id", "highway", "name", "maxspeed", "layer",
+                        "geom_lonlat").mapInPandas(gen, _ROAD_CELLS_SCHEMA)
+
+
+def dwithin_pairs(points: DataFrame, road_cells: DataFrame) -> DataFrame:
+    """J4: hash join on cell + null-safe layer guard + exact distance refine."""
+    joined = points.join(
+        road_cells,
+        on=[points["cell"] == road_cells["cell"],
+            points["layer"].eqNullSafe(road_cells["road_layer"])],
+        how="inner",
+    ).select("way_id", "pt_seq", "x", "y", "road_id", "road_highway",
+             "road_name", "road_maxspeed", "road_geom")
+
+    schema = T.StructType([
+        T.StructField("way_id", T.StringType()),
+        T.StructField("pt_seq", T.IntegerType()),
+        T.StructField("road_id", T.StringType()),
+        T.StructField("road_highway", T.StringType()),
+        T.StructField("road_name", T.StringType()),
+        T.StructField("road_maxspeed", T.DoubleType()),
+    ])
+
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=[f.name for f in schema.fields])
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for i, (x, y, geom) in enumerate(zip(pdf["x"], pdf["y"],
+                                                 pdf["road_geom"])):
+                coords = np.vstack([np.asarray(p, dtype=float) for p in geom])
+                d = point_to_polyline_dist(np.array([x]), np.array([y]),
+                                           coords)[0]
+                keep[i] = d <= C.SIDEPATH_BUFFER_SIZE_M
+            out = pdf.loc[keep, ["way_id", "pt_seq", "road_id", "road_highway",
+                                 "road_name", "road_maxspeed"]]
+            yield out
+
+    return joined.mapInPandas(refine, schema)
+
+
+def sidepath_aggregates(points: DataFrame, pairs: DataFrame) -> DataFrame:
+    """A1-A5 as grouped aggregations with map-side partials (two-level).
+
+    Counter parity: the reference seeds every first appearance with 2
+    (ref:cycling_quality_index.py:1567-1572), so a key seen at n points
+    contributes n+1 — reproduced as count + 1.
+    """
+    checks = points.groupBy("way_id").agg(F.count("*").alias("checks"))
+
+    def keyed_counts(col: str, alias: str) -> DataFrame:
+        distinct = pairs.select("way_id", "pt_seq", col).distinct()
+        return distinct.groupBy("way_id", F.col(col).alias(alias)).agg(
+            (F.count("*") + F.lit(1)).alias(f"{alias}_cnt"))
+
+    id_sum = keyed_counts("road_id", "k").groupBy("way_id").agg(
+        F.sum("k_cnt").alias("id_sum"))
+    hw_counts = keyed_counts("road_highway", "hw")
+    hw_sum = hw_counts.groupBy("way_id").agg(F.sum("hw_cnt").alias("hw_sum"))
+    name_counts = keyed_counts("road_name", "nm")
+    name_sum = name_counts.groupBy("way_id").agg(
+        F.sum("nm_cnt").alias("name_sum"))
+
+    # argmax highway with reference rank order (A3)
+    rank_expr = F.coalesce(
+        *[F.when(F.col("hw") == F.lit(h), F.lit(i))
+          for i, h in enumerate(C.HIGHWAY_CLASS_RANKING) if h is not None],
+        F.lit(len(C.HIGHWAY_CLASS_RANKING) - 1))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("way_id").orderBy(
+        F.desc("hw_cnt"), F.asc(rank_expr))
+    ranked = hw_counts.withColumn("rn", F.row_number().over(w)) \
+        .withColumn("rank_idx", rank_expr)
+    argmax_hw = ranked.filter(F.col("rn") == 1).select(
+        "way_id",
+        F.when(F.col("rank_idx") < len(C.HIGHWAY_CLASS_RANKING) - 1,
+               F.element_at(F.lit(
+                   [h for h in C.HIGHWAY_CLASS_RANKING if h is not None]),
+                   F.col("rank_idx").cast("int") + 1)).alias("argmax_hw"))
+
+    # mode name (A4): deterministic tie-break (count desc, name asc)
+    wn = Window.partitionBy("way_id").orderBy(F.desc("nm_cnt"), F.asc("nm"))
+    mode_name = name_counts.filter(F.col("nm").isNotNull()) \
+        .withColumn("rn", F.row_number().over(wn)) \
+        .filter(F.col("rn") == 1).select("way_id",
+                                         F.col("nm").alias("mode_name"))
+
+    # per-highway max maxspeed map (A5)
+    ms = pairs.groupBy("way_id", "road_highway").agg(
+        F.max("road_maxspeed").alias("ms"))
+    ms_map = ms.filter(F.col("ms").isNotNull()).groupBy("way_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(
+                F.coalesce(F.col("road_highway"), F.lit("\x00null")),
+                F.col("ms")))).alias("ms_map"))
+
+    agg = checks
+    for d in (id_sum, hw_sum, name_sum, argmax_hw, mode_name, ms_map):
+        agg = agg.join(d, "way_id", "left")
+    return agg
+
+
+def apply_sidepath_spark(ways: DataFrame, agg: DataFrame) -> DataFrame:
+    """Writeback (ref:cycling_quality_index.py:175-251) as expressions."""
+    joined = ways.join(agg, ways["id"] == agg["way_id"], "left")
+
+    is_path = F.col("highway").isin(C.PATH_HIGHWAYS)
+    threshold = F.lit(2.0) / F.lit(3.0) * F.col("checks")
+    majority = (
+        (F.coalesce(F.col("id_sum"), F.lit(0)) >= threshold)
+        | (F.coalesce(F.col("hw_sum"), F.lit(0)) >= threshold)
+        | (F.coalesce(F.col("name_sum"), F.lit(0)) >= threshold))
+    tag = F.col("is_sidepath")
+    tag_falsy = tag.isNull() | (tag == "")
+    proc_sidepath = F.when(~is_path, F.lit(None).cast("string")).when(
+        F.col("way_id").isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.col("footway") == "sidewalk", F.lit("yes"))
+        .when(~tag_falsy, tag)
+        .when(majority, F.lit("yes")).otherwise(F.lit("no")))
+
+    spo = F.col("is_sidepath:of")
+    spo_falsy = spo.isNull() | (spo == "")
+    proc_highway_path = F.when(proc_sidepath == "yes",
+                               F.when(~spo_falsy, spo)
+                               .otherwise(F.col("argmax_hw")))
+    proc_highway = F.when(is_path, proc_highway_path) \
+        .otherwise(F.col("highway"))
+
+    ms_lookup = F.element_at(
+        F.col("ms_map"), F.coalesce(proc_highway, F.lit("\x00null")))
+    determine_ms = (
+        F.when((F.col("maxspeed") == "walk")
+               | (((F.col("maxspeed").isNull()) | (F.col("maxspeed") == ""))
+                  & (F.col("highway") == "living_street")), F.lit(10.0))
+        .when(F.col("maxspeed") == "none", F.lit(299.0))
+        .otherwise(F.col("maxspeed").try_cast("double")))
+    proc_maxspeed = F.when(is_path,
+                           F.when((proc_sidepath == "yes")
+                                  & ms_lookup.isNotNull()
+                                  & (ms_lookup != 0), ms_lookup)) \
+        .otherwise(determine_ms)
+
+    name = F.when(is_path & (proc_sidepath == "yes")
+                  & F.col("mode_name").isNotNull()
+                  & (F.col("mode_name") != ""), F.col("mode_name")) \
+        .otherwise(F.col("name"))
+
+    return joined.withColumn("proc_sidepath", proc_sidepath) \
+        .withColumn("proc_highway", proc_highway) \
+        .withColumn("proc_maxspeed", proc_maxspeed) \
+        .withColumn("name", name) \
+        .drop("way_id", "checks", "id_sum", "hw_sum", "name_sum",
+              "argmax_hw", "mode_name", "ms_map")
+
+
+def _output_spark_schema() -> T.StructType:
+    type_map = {
+        "index": T.IntegerType(), "index_10": T.IntegerType(),
+        "stress_level": T.IntegerType(), "base_index": T.IntegerType(),
+        "proc_maxspeed": T.IntegerType(), "filter_usable": T.IntegerType(),
+        "offset": T.DoubleType(), "proc_width": T.DoubleType(),
+        "proc_buffer_left": T.DoubleType(), "proc_buffer_right": T.DoubleType(),
+        "fac_width": T.DoubleType(), "fac_surface": T.DoubleType(),
+        "fac_highway": T.DoubleType(), "fac_maxspeed": T.DoubleType(),
+        "fac_1": T.DoubleType(), "fac_2": T.DoubleType(),
+        "fac_3": T.DoubleType(), "fac_4": T.DoubleType(),
+        "data_incompleteness": T.DoubleType(),
+    }
+    return T.StructType(
+        [T.StructField(c, type_map.get(c, T.StringType()), True)
+         for c in C.OUTPUT_COLUMNS])
+
+
+OUTPUT_SCHEMA = _output_spark_schema()
+
+
+def score_batches(ways_with_sidepath: DataFrame) -> DataFrame:
+    """Offset explode + deletes + way type + rules + score per Arrow batch —
+    zero shuffles; reuses the golden-verified kernel."""
+    from ..kernel.pipeline import _post_sidepath_stages  # local to avoid cycle
+
+    int_cols = [f.name for f in OUTPUT_SCHEMA.fields
+                if isinstance(f.dataType, T.IntegerType)]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = _post_sidepath_stages(pdf)
+            for c in int_cols:
+                out[c] = pd.array(out[c], dtype="Int32")
+            yield out
+
+    return ways_with_sidepath.mapInPandas(run, OUTPUT_SCHEMA)
+
+
+def score_pages(pages: DataFrame) -> DataFrame:
+    """pages -> scored way table (the engine's flagship query)."""
+    from ..sources.pages import extract_ways
+    ways = extract_ways(pages, WAY_TAG_COLUMNS)
+    return score_way_table(ways)
+
+
+def score_way_table(ways: DataFrame) -> DataFrame:
+    paths = ways.filter(F.col("highway").isin(C.PATH_HIGHWAYS))
+    roads = ways.filter(~F.col("highway").isin(C.ROAD_EXCLUDED_HIGHWAYS)
+                        | F.col("highway").isNull())
+    points = sample_points(paths)
+    rcells = road_cell_index(roads)
+    pairs = dwithin_pairs(points, rcells)
+    agg = sidepath_aggregates(points, pairs)
+    enriched = apply_sidepath_spark(ways, agg)
+    return score_batches(enriched)

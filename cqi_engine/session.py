@@ -1,0 +1,37 @@
+"""SparkSession construction with engine defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "cqi-engine", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    """local[...] session tuned for the engine.
+
+    Scale posture: Arrow-batched UDF transfer, AQE with skew-join handling
+    (the sidepath cell join is skew-prone: dense urban cells), and
+    partition-count defaults sized for the local harness.  On a real cluster
+    the same builder is used via spark-submit with cluster-master settings.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER",
+                                      f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
