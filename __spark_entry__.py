@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry` runs the flagship documents->pages->spatial-join->CQI-scoring
+pipeline at sf0.001.  `queries`/`oracle_sql` expose the full operator
+catalog (cqi_engine.queries.catalog): every SQL-expressible operator ships
+with a DuckDB oracle generated from the same dual-dialect template; the
+full CQI scoring kernel, the stubbed media decode, and the numpy-blocked
+ANN are rows-only (non-SQL-expressible).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cqi_engine.queries.catalog import CATALOG, run_query  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cqi_engine.session import ship_package
+    from cqi_engine.sources.webways import score_documents
+    ship_package(spark)
+    return score_documents(spark, "/root/testdata/sf0.001")
+
+
+def _make(qname: str) -> Callable[[SparkSession, str], DataFrame]:
+    def _run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_query(spark, sf_dir, CATALOG[qname])
+    _run.__name__ = f"query_{qname}"
+    return _run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: _make(name) for name in CATALOG}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle per query (omitted for non-SQL-expressible ops)."""
+    return {name: q.duck_sql for name, q in CATALOG.items()
+            if q.duck_sql is not None}

@@ -1,0 +1,174 @@
+"""Dual-dialect SQL fragment builders (Spark SQL + DuckDB).
+
+Every web-scale operator whose semantics are SQL-expressible is defined
+ONCE here as a pair of dialect emitters, so the Spark implementation and
+the DuckDB correctness oracle are parity-exact *by construction*: the
+same integer/string arithmetic, the same evaluation order.
+
+Parity ground rules (verified empirically, see tests/test_oracle_parity.py):
+- integer arithmetic: use explicit ``L`` bigint literals on the Spark side
+  (ANSI mode overflows int32 otherwise); keep magnitudes < 2^62.
+- list indexing: 1-based on both sides (`element_at` / `list_extract`).
+- `split(col, ' ')` (Spark, regex-literal) == `string_split(col, ' ')`
+  (DuckDB) for single-space delimiters; empty tokens filtered identically.
+- `round(x, n)` is HALF_UP on both sides (NOT Python banker's).
+- float math (exp/sqrt/log) is libm on both sides — bit-identical for
+  identical double inputs; we still round exported doubles to <=6 places.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+# polynomial rolling-hash base powers (base 31, first 8 chars — tokens in
+# the web corpus are short; 255*31^7 ~ 7e12 stays far below int64).
+POW31 = [31 ** i for i in range(8)]
+
+# MinHash permutation parameters (a*h+b mod p). a <= 1009 keeps a*h < 8e15.
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_PERMS = [(709 + 97 * j, 3571 + 131 * j) for j in range(16)]
+LSH_BANDS = 4  # 16 hashes -> 4 bands x 4 rows
+
+SIMHASH_BITS = 16
+
+
+def arr_lit(vals, dialect: str) -> str:
+    if dialect == SPARK:
+        return "array(" + ",".join(f"{v}L" for v in vals) + ")"
+    return "[" + ",".join(str(v) for v in vals) + "]"
+
+
+def str_arr_lit(vals, dialect: str) -> str:
+    body = ",".join("'" + v.replace("'", "''") + "'" for v in vals)
+    return ("array(" + body + ")") if dialect == SPARK else ("[" + body + "]")
+
+
+def at(list_expr: str, idx_expr: str, dialect: str) -> str:
+    """1-based list index."""
+    if dialect == SPARK:
+        # element_at requires an INT index; arithmetic over bigint columns
+        # (e.g. p_partkey % 17 + 1) widens to BIGINT, so always narrow.
+        return f"element_at({list_expr}, cast(({idx_expr}) as int))"
+    return f"list_extract({list_expr}, {idx_expr})"
+
+
+def seq1(n_expr: str, dialect: str) -> str:
+    """[1..n] inclusive."""
+    if dialect == SPARK:
+        return f"sequence(1, {n_expr})"
+    return f"range(1, ({n_expr})+1)"
+
+
+def lmap(list_expr: str, lam: str, dialect: str) -> str:
+    fn = "transform" if dialect == SPARK else "list_transform"
+    return f"{fn}({list_expr}, {lam})"
+
+
+def lfilter(list_expr: str, lam: str, dialect: str) -> str:
+    fn = "filter" if dialect == SPARK else "list_filter"
+    return f"{fn}({list_expr}, {lam})"
+
+
+def lsum(list_expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"aggregate({list_expr}, 0L, (acc, x) -> acc + x)"
+    return f"coalesce(list_aggregate({list_expr}, 'sum'), 0)"
+
+
+def lmin(list_expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"array_min({list_expr})"
+    return f"list_aggregate({list_expr}, 'min')"
+
+
+def lsize(list_expr: str, dialect: str) -> str:
+    return (f"size({list_expr})" if dialect == SPARK
+            else f"len({list_expr})")
+
+
+def contains(list_expr: str, item_expr: str, dialect: str) -> str:
+    if dialect == SPARK:
+        return f"array_contains({list_expr}, {item_expr})"
+    return f"list_contains({list_expr}, {item_expr})"
+
+
+def split_ws(col: str, dialect: str) -> str:
+    """Whitespace tokenization, empty tokens dropped (identical both sides)."""
+    base = (f"split({col}, ' ')" if dialect == SPARK
+            else f"string_split({col}, ' ')")
+    return lfilter(base, "x -> x <> ''", dialect)
+
+
+def tokens_distinct(col: str, dialect: str) -> str:
+    fn = "array_distinct" if dialect == SPARK else "list_distinct"
+    return f"{fn}({split_ws(col, dialect)})"
+
+
+def polyhash(tok: str, dialect: str) -> str:
+    """Deterministic token hash: sum ascii(c_i)*31^(i-1), first 8 chars.
+
+    Plays the role the reference's surface-ranking lookup tables play
+    (definitions.py:117-129): a portable, engine-agnostic scalar key.
+    """
+    n = f"least(length({tok}), 8)" if dialect == SPARK else f"least(len({tok}), 8)"
+    body = (f"ascii(substr({tok}, i, 1)) * "
+            + at(arr_lit(POW31, dialect), "i", dialect))
+    return lsum(lmap(seq1(n, dialect), f"i -> {body}", dialect), dialect)
+
+
+def token_hashes(col: str, dialect: str) -> str:
+    return lmap(tokens_distinct(col, dialect), f"t -> {polyhash('t', dialect)}",
+                dialect)
+
+
+def minhash_sig(col: str, dialect: str) -> list[str]:
+    """16 MinHash values over the distinct-token polyhashes."""
+    out = []
+    for a, b in MINHASH_PERMS:
+        permuted = lmap(token_hashes(col, dialect),
+                        f"h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L"
+                        if dialect == SPARK else
+                        f"h -> ({a} * h + {b}) % {MINHASH_PRIME}",
+                        dialect)
+        out.append(lmin(permuted, dialect))
+    return out
+
+
+def band_keys(col: str, dialect: str) -> list[str]:
+    """LSH band keys: combine each band's 4 minhashes into one bigint.
+
+    Mixing uses mod-(2^31-1) polynomial accumulation — small enough that
+    acc * 1000003 + minhash stays below 2^63 (ANSI overflow-safe), and
+    identical on both sides so collisions (if any) are shared.
+    """
+    sig = minhash_sig(col, dialect)
+    rows = len(sig) // LSH_BANDS
+    keys = []
+    m = (1 << 31) - 1
+    for band in range(LSH_BANDS):
+        expr = "0"
+        for r in range(rows):
+            h = sig[band * rows + r]
+            expr = (f"(({expr}) * 1000003{'L' if dialect == SPARK else ''} "
+                    f"+ ({h})) % {m}{'L' if dialect == SPARK else ''}")
+        keys.append(expr)
+    return keys
+
+
+def simhash(col: str, dialect: str) -> str:
+    """16-bit SimHash over distinct-token polyhashes.
+
+    bit_k = 1 iff sum over tokens of (2*bit_k(h)-1) > 0.
+    """
+    hashes = token_hashes(col, dialect)
+    bit_terms = []
+    for k in range(SIMHASH_BITS):
+        shifted = lmap(hashes,
+                       f"h -> 2 * ((h div {1 << k}) % 2) - 1"
+                       if dialect == SPARK else
+                       f"h -> 2 * ((h // {1 << k}) % 2) - 1",
+                       dialect)
+        s = lsum(shifted, dialect)
+        bit_terms.append(f"(case when ({s}) > 0 then {1 << k} else 0 end)")
+    return "(" + " + ".join(bit_terms) + ")"

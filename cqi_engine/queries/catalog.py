@@ -1,0 +1,900 @@
+"""Query catalog: every SURVEY.md §2 operator family as a driver-checkable
+query over the driver's parquet tables, plus the web-scale training-data
+operators (dedup / similarity / text analysis / multimodal).
+
+Each entry is either
+- a dual-dialect SQL pair (Spark SQL executed over temp views registered
+  from ``sf_dir``; DuckDB SQL as the correctness oracle) generated from ONE
+  template so both engines run the *same* arithmetic, or
+- a DataFrame-builder function for non-SQL-expressible operators (the full
+  CQI scoring kernel, the stubbed media decode) — driver does a rows-only
+  check for those.
+
+Determinism rules: integer arithmetic wherever possible; doubles only as
+final rounded projections; every output ordering key is total (ties broken
+by an id column); no wall-clock, no RNG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from ..operators import dialect as D
+from ..operators.dialect import DUCK, SPARK
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic geometry (integer meters in a 100 km x 100 km world)
+# Grid cell = 2 km  ->  50 x 50 cells; cell key = cx*100 + cy  (SURVEY §2.3 J4:
+# the H3-res-9-style equi-bucketing that turns dwithin into a hash join).
+# ---------------------------------------------------------------------------
+WORLD_M = 100_000
+CELL_M = 2_000
+DWITHIN_M = 2_000
+
+CUST_PT = ("((c_custkey * 7919) % 100000)", "((c_custkey * 104729) % 100000)")
+# different multipliers than CUST_PT: with shared multipliers the
+# customer-supplier distance degenerates to a function of (c-s) alone and
+# the dwithin join finds zero pairs — decorrelated primes give the expected
+# ~ n_c * n_s * pi*r^2/area pair density.
+SUPP_PT = ("((s_suppkey * 6151 + 12345) % 100000)",
+           "((s_suppkey * 9973 + 54321) % 100000)")
+
+
+def idiv(a: str, b: int, d: str) -> str:
+    return f"({a} div {b})" if d == SPARK else f"({a} // {b})"
+
+
+def s_str(x: str, d: str) -> str:
+    return f"cast({x} as string)" if d == SPARK else f"cast({x} as varchar)"
+
+
+def cell_key(x: str, y: str, d: str) -> str:
+    return f"({idiv(x, CELL_M, d)} * 100 + {idiv(y, CELL_M, d)})"
+
+
+@dataclass
+class Query:
+    name: str
+    tables: tuple
+    spark_sql: Optional[str] = None
+    duck_sql: Optional[str] = None
+    fn: Optional[Callable] = None          # custom builder (rows-only check)
+    doc: str = ""
+
+
+CATALOG: dict[str, Query] = {}
+
+
+def _reg(q: Query) -> None:
+    CATALOG[q.name] = q
+
+
+def _sql_pair(name: str, tables: tuple, template: Callable[[str], str],
+              doc: str = "") -> None:
+    _reg(Query(name=name, tables=tables, spark_sql=template(SPARK),
+               duck_sql=template(DUCK), doc=doc))
+
+
+def run_query(spark, sf_dir: str, q: Query):
+    """Register the needed parquet views and execute the Spark side."""
+    from ..session import ship_package
+    ship_package(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in q.tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    if q.fn is not None:
+        return q.fn(spark, sf_dir)
+    return spark.sql(q.spark_sql)
+
+
+# ===========================================================================
+# 1. Relational core (scan -> filter -> agg -> join -> window; SURVEY §2.1-2.5)
+# ===========================================================================
+
+def _pricing_summary(d: str) -> str:
+    # A5/A6-style grouped aggregation with map-side partials (TPC-H Q1 shape)
+    return f"""
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+       cast(round(sum(l_extendedprice), 2) as double) as sum_base_price,
+       cast(round(sum(l_extendedprice * (1 - l_discount)), 2) as double) as sum_disc_price,
+       cast(round(avg(l_quantity), 6) as double) as avg_qty,
+       cast(round(avg(l_discount), 6) as double) as avg_disc,
+       cast(count(*) as bigint) as count_order
+from lineitem
+where l_shipdate <= timestamp '2001-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+_sql_pair("pricing_summary", ("lineitem",), _pricing_summary,
+          "Grouped agg w/ partial aggregation (SURVEY §2.4 A5/A6)")
+
+
+def _shipping_priority(d: str) -> str:
+    # 3-way join + agg + deterministic top-N via row_number (SURVEY §2.3/2.5)
+    return f"""
+select l_orderkey, revenue, o_orderdate
+from (
+  select l.l_orderkey,
+         cast(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as double) as revenue,
+         {s_str('o.o_orderdate', d)} as o_orderdate,
+         row_number() over (order by round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) desc, l.l_orderkey asc) as rn
+  from customer c
+  join orders o on c.c_custkey = o.o_custkey
+  join lineitem l on l.l_orderkey = o.o_orderkey
+  where o.o_orderdate < timestamp '2001-01-01 00:00:00'
+  group by l.l_orderkey, o.o_orderdate
+) t where rn <= 10
+"""
+
+
+_sql_pair("shipping_priority", ("customer", "orders", "lineitem"),
+          _shipping_priority, "Multi-join + agg + total-order top-N")
+
+
+def _top_customers(d: str) -> str:
+    return f"""
+select c_custkey, c_name, order_cnt, total_price
+from (
+  select c.c_custkey, c.c_name,
+         cast(count(o.o_orderkey) as bigint) as order_cnt,
+         cast(round(sum(o.o_totalprice), 2) as double) as total_price,
+         row_number() over (order by round(sum(o.o_totalprice), 2) desc, c.c_custkey asc) as rn
+  from customer c join orders o on o.o_custkey = c.c_custkey
+  group by c.c_custkey, c.c_name
+) t where rn <= 25
+"""
+
+
+_sql_pair("top_customers", ("customer", "orders"), _top_customers,
+          "Broadcast-able dim join + top-N")
+
+
+def _events_hourly(d: str) -> str:
+    return f"""
+select {s_str("date_trunc('hour', ts)", d)} as hour_ts, event_type,
+       cast(count(*) as bigint) as n,
+       cast(round(sum(value), 4) as double) as sum_value
+from events
+group by date_trunc('hour', ts), event_type
+"""
+
+
+_sql_pair("events_hourly", ("events",), _events_hourly,
+          "Tumbling-window (hour) aggregation over the event stream table")
+
+
+def _events_sessionize(d: str) -> str:
+    ms = ("unix_millis(cast(ts as timestamp))" if d == SPARK
+          else "epoch_ms(ts)")
+    return f"""
+select user_id,
+       cast(count(distinct sess) as bigint) as n_sessions,
+       cast(count(*) as bigint) as n_events,
+       cast(max(sess) + 1 as bigint) as last_sess_plus1
+from (
+  select user_id,
+         sum(is_new) over (partition by user_id order by ms_ts, event_id
+                           rows between unbounded preceding and current row) as sess
+  from (
+    select user_id, event_id, {ms} as ms_ts,
+           case when {ms} - lag({ms}) over (partition by user_id
+                                            order by {ms}, event_id)
+                     > 1800000 then 1 else 0 end as is_new
+    from events
+  ) g
+) s group by user_id
+"""
+
+
+_sql_pair("events_sessionize", ("events",), _events_sessionize,
+          "Gap-based sessionization (lag + running sum windows)")
+
+
+def _events_majority(d: str) -> str:
+    # A2 majority vote, exact integer arithmetic (>= 2/3 of checks)
+    return f"""
+select user_id, total, top_cnt,
+       case when top_cnt * 3 >= total * 2 then 1 else 0 end as majority
+from (
+  select user_id, cast(sum(cnt) as bigint) as total,
+         cast(max(cnt) as bigint) as top_cnt
+  from (select user_id, event_type, count(*) as cnt
+        from events group by user_id, event_type) c
+  group by user_id
+) t
+"""
+
+
+_sql_pair("events_majority", ("events",), _events_majority,
+          "2/3-majority vote (SURVEY §2.4 A2, ref:cycling_quality_index.py:168-172)")
+
+
+def _events_mode(d: str) -> str:
+    # A4 mode with deterministic tie-break (count desc, key asc)
+    return f"""
+select user_id, event_type as mode_type, cast(cnt as bigint) as cnt
+from (
+  select user_id, event_type, count(*) as cnt,
+         row_number() over (partition by user_id
+                            order by count(*) desc, event_type asc) as rn
+  from events group by user_id, event_type
+) t where rn = 1
+"""
+
+
+_sql_pair("events_mode", ("events",), _events_mode,
+          "Mode / most-frequent transfer (SURVEY §2.4 A4, ref:219-224)")
+
+
+_EVENT_RANK = ["purchase", "signup", "click", "view", "error"]
+
+
+def _events_argmax_rank(d: str) -> str:
+    # A3 arg-max by external rank list (ref:cycling_quality_index.py:193-207)
+    rank_case = ("case " + " ".join(
+        f"when event_type = '{t}' then {i}" for i, t in enumerate(_EVENT_RANK))
+        + " else 99 end")
+    return f"""
+select user_id, event_type as top_ranked_type, cast(cnt as bigint) as cnt
+from (
+  select user_id, event_type, count(*) as cnt,
+         row_number() over (partition by user_id
+                            order by count(*) desc, {rank_case} asc) as rn
+  from events group by user_id, event_type
+) t where rn = 1
+"""
+
+
+_sql_pair("events_argmax_rank", ("events",), _events_argmax_rank,
+          "Arg-max by rank list (SURVEY §2.4 A3)")
+
+
+def _weighted_incompleteness(d: str) -> str:
+    # A6/R18: weighted sum of missing-data indicator flags
+    # (ref:cycling_quality_index.py:1793-1796, weights parameter.py:257-267)
+    toks = D.split_ws("text", d)
+    return f"""
+select doc_id,
+       cast((case when n_chars < 100 then 25 else 0 end)
+          + (case when lang is null or lang = '' then 30 else 0 end)
+          + (case when {D.lsize(toks, d)} < 20 then 15 else 0 end)
+          + (case when source is null or source = '' then 10 else 0 end)
+        as bigint) as data_incompleteness
+from documents
+"""
+
+
+_sql_pair("weighted_incompleteness", ("documents",), _weighted_incompleteness,
+          "Weighted missing-data fold (SURVEY §2.4 A6 / §2.8 R18)")
+
+
+# ===========================================================================
+# 2. CQI scalar/tag-parsing operators on synthesized tag strings (§2.7 F1-F11)
+# ===========================================================================
+
+def _maxspeed_tag(d: str) -> str:
+    # deterministic OSM-ish maxspeed strings from part keys
+    return f"""(case (p_partkey % 11)
+      when 0 then 'none' when 1 then 'walk' when 2 then 'DE:rural'
+      when 3 then '' when 4 then 'fast' when 5 then '50;70'
+      else {s_str('10 * (p_partkey % 13)', d)} end)"""
+
+
+def _parse_maxspeed(d: str) -> str:
+    # F7 maxspeed normalization (ref:cycling_quality_index.py:157-165 +
+    # src/models/features.py:56-80): walk->10, none->299, DE:rural->50,
+    # 'a;b'->first, numeric->cast, junk->NULL; living_street default 10.
+    tag = _maxspeed_tag(d)
+    first = D.at(f"split({tag}, ';')" if d == SPARK
+                 else f"string_split({tag}, ';')", "1", d)
+    return f"""
+select p_partkey, {tag} as maxspeed_tag,
+       cast(case
+         when {tag} = 'walk' then 10.0
+         when {tag} = 'none' then 299.0
+         when {tag} = 'DE:rural' then 50.0
+         when ({tag} = '' or {tag} is null) and (p_partkey % 17) = 0 then 10.0
+         else try_cast({first} as double)
+       end as double) as proc_maxspeed
+from part
+"""
+
+
+_sql_pair("parse_maxspeed", ("part",), _parse_maxspeed,
+          "F7 maxspeed tag normalization, bit-for-bit")
+
+
+def _parse_width(d: str) -> str:
+    # F8 width unit parsing (ref:src/models/features.py:46-54): regex
+    # numeric extraction from strings like '6.5 m' / '3 m' / junk.
+    tag = (f"""(case (p_partkey % 5)
+      when 0 then {s_str('p_size div 10', d) if d == SPARK else s_str('p_size // 10', d)} || '.' || {s_str('p_size % 10', d)} || ' m'
+      when 1 then {s_str('p_size % 9', d)}
+      when 2 then 'narrow' when 3 then '' else {s_str('p_size % 7', d)} || 'm' end)""")
+    rex = r"(\\d+\\.?\\d*)" if d == SPARK else r"(\d+\.?\d*)"
+    return f"""
+select p_partkey, {tag} as width_tag,
+       try_cast(regexp_extract({tag}, '{rex}', 1) as double) as proc_width
+from part
+"""
+
+
+_sql_pair("parse_width", ("part",), _parse_width,
+          "F8 width unit parsing via regexp_extract")
+
+
+# reference surface quality ordering (ref:definitions.py:117-129 list order)
+_SURFACE_RANK = [
+    "asphalt", "paved", "concrete", "chipseal", "paving_stones",
+    "compacted", "concrete:plates", "bricks", "sett", "cobblestone",
+    "gravel", "fine_gravel", "pebblestone", "ground", "dirt", "grass",
+    "sand",
+]
+
+
+def _weakest_surface(d: str) -> str:
+    # F3 getWeakestSurfaceValue: worst-ranked entry of a ';'-list.
+    n = len(_SURFACE_RANK)
+    pick = lambda i: _SURFACE_RANK[i]  # noqa: E731
+    tag = (f"('{pick(0)};' || {D.at(D.str_arr_lit(_SURFACE_RANK, d), '(p_partkey % ' + str(n) + ') + 1', d)}"
+           f" || ';' || {D.at(D.str_arr_lit(_SURFACE_RANK, d), '(p_partkey % 7) + 1', d)})")
+    toks = (f"split({tag}, ';')" if d == SPARK
+            else f"string_split({tag}, ';')")
+    rank_case = ("case x " + " ".join(
+        f"when '{s}' then {i}" for i, s in enumerate(_SURFACE_RANK))
+        + " else -1 end")
+    ranks = D.lmap(toks, f"x -> {rank_case}", d)
+    worst = (f"array_max({ranks})" if d == SPARK
+             else f"list_aggregate({ranks}, 'max')")
+    return f"""
+select p_partkey, {tag} as surface_tag,
+       {D.at(D.str_arr_lit(_SURFACE_RANK, d), f'({worst}) + 1', d)} as weakest_surface
+from part
+"""
+
+
+_sql_pair("weakest_surface", ("part",), _weakest_surface,
+          "F3 weakest-surface pick per reference quality ordering "
+          "(ref:definitions.py:117-129)")
+
+
+def _access_resolve(d: str) -> str:
+    # F5 getAccess hierarchy (ref:definitions.py:54-72): bicycle <- vehicle
+    # <- access with QGIS ''-falsy semantics (SURVEY §1.1).
+    bic = ("(case (p_partkey % 5) when 0 then 'no' when 1 then 'yes' "
+           "when 2 then '' else null end)")
+    veh = ("(case (p_partkey % 3) when 0 then 'private' when 1 then '' "
+           "else null end)")
+    acc = "(case (p_partkey % 2) when 0 then 'permissive' else 'yes' end)"
+    def nb(x: str) -> str:
+        return f"(case when {x} is not null and {x} <> '' then {x} end)"
+    return f"""
+select p_partkey,
+       coalesce({nb(bic)}, {nb(veh)}, {nb(acc)}) as proc_access
+from part
+"""
+
+
+_sql_pair("access_resolve", ("part",), _access_resolve,
+          "F5 access-hierarchy coalesce chain with ''-falsy parity")
+
+
+# ===========================================================================
+# 3. Geospatial operators (§2.3 J1-J6, north_star: cells / PIP / kNN / raster)
+# ===========================================================================
+
+def _cell_assign(d: str) -> str:
+    cx, cy = CUST_PT
+    return f"""
+select c_custkey, cast({cx} as bigint) as x, cast({cy} as bigint) as y,
+       cast({cell_key(cx, cy, d)} as bigint) as cell
+from customer
+"""
+
+
+_sql_pair("cell_assign", ("customer",), _cell_assign,
+          "Deterministic H3-style cell assignment (integer grid, no shuffle)")
+
+
+def _cell_agg(d: str) -> str:
+    cx, cy = CUST_PT
+    return f"""
+select cast({cell_key(cx, cy, d)} as bigint) as cell,
+       cast(count(*) as bigint) as n_points,
+       cast(round(avg(c_acctbal), 6) as double) as avg_acctbal
+from customer
+group by {cell_key(cx, cy, d)}
+"""
+
+
+_sql_pair("cell_agg", ("customer",), _cell_agg,
+          "Cell-level index aggregation (north_star; two-level agg)")
+
+
+def _dwithin_spark(d: str) -> str:
+    """Scale path: explode supplier sites over 3x3 neighbor cells ->
+    hash equi-join on cell -> exact integer distance refine. One shuffle,
+    no cross join (SURVEY §2.3 J4 mapping)."""
+    cx, cy = CUST_PT
+    sx, sy = SUPP_PT
+    return f"""
+with cust as (
+  select c_custkey, {cx} as x, {cy} as y, {cell_key(cx, cy, d)} as cell
+  from customer
+),
+supp as (
+  select s_suppkey, {sx} as x, {sy} as y,
+         {idiv(sx, CELL_M, d)} as cx, {idiv(sy, CELL_M, d)} as cy
+  from supplier
+),
+supp_cells as (
+  select s_suppkey, x, y, (cx + dx) * 100 + (cy + dy) as cell
+  from supp
+  cross join (select explode(sequence(-1, 1)) as dx) a
+  cross join (select explode(sequence(-1, 1)) as dy) b
+)
+select c.c_custkey, s.s_suppkey,
+       cast((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) as bigint)
+         as dist_sq
+from cust c join supp_cells s on c.cell = s.cell
+where (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+      <= {DWITHIN_M * DWITHIN_M}
+"""
+
+
+def _dwithin_duck() -> str:
+    cx, cy = CUST_PT
+    sx, sy = SUPP_PT
+    return f"""
+select c.c_custkey, s.s_suppkey,
+       cast((({cx}) - ({sx})) * (({cx}) - ({sx}))
+          + (({cy}) - ({sy})) * (({cy}) - ({sy})) as bigint) as dist_sq
+from customer c, supplier s
+where (({cx}) - ({sx})) * (({cx}) - ({sx}))
+    + (({cy}) - ({sy})) * (({cy}) - ({sy})) <= {DWITHIN_M * DWITHIN_M}
+"""
+
+
+_reg(Query("dwithin_join", ("customer", "supplier"),
+           spark_sql=_dwithin_spark(SPARK), duck_sql=_dwithin_duck(),
+           doc="dwithin spatial join: cell-bucketed equi-join + exact refine "
+               "(scale path) vs naive cross-join oracle (SURVEY §2.3 J4)"))
+
+
+def _knn(d: str) -> str:
+    # kNN nearest-site lookup (north_star): total-order (dist_sq, id)
+    cx, cy = CUST_PT
+    sx, sy = SUPP_PT
+    return f"""
+select c_custkey, s_suppkey, dist_sq, cast(rn as bigint) as rank
+from (
+  select c.c_custkey, s.s_suppkey,
+         cast((({cx}) - ({sx})) * (({cx}) - ({sx}))
+            + (({cy}) - ({sy})) * (({cy}) - ({sy})) as bigint) as dist_sq,
+         row_number() over (partition by c.c_custkey
+            order by (({cx}) - ({sx})) * (({cx}) - ({sx}))
+                   + (({cy}) - ({sy})) * (({cy}) - ({sy})) asc,
+                     s.s_suppkey asc) as rn
+  from customer c cross join supplier s
+  where c.c_custkey <= 300
+) t where rn <= 5
+"""
+
+
+_sql_pair("knn_sites", ("customer", "supplier"), _knn,
+          "kNN nearest-way lookup; Spark side broadcasts the small site table")
+
+
+def _point_in_polygon(d: str) -> str:
+    # nation boxes tile the world 5x5; containment join + per-polygon agg.
+    cx, cy = CUST_PT
+    x0 = "((n_nationkey % 5) * 20000)"
+    y0 = f"({idiv('n_nationkey', 5, d)} * 20000)"
+    return f"""
+select n.n_nationkey, n.n_name,
+       cast(count(c.c_custkey) as bigint) as n_points,
+       cast(round(sum(c.c_acctbal), 2) as double) as sum_acctbal
+from nation n join customer c
+  on ({cx}) >= {x0} and ({cx}) < {x0} + 20000
+ and ({cy}) >= {y0} and ({cy}) < {y0} + 20000
+group by n.n_nationkey, n.n_name
+"""
+
+
+_sql_pair("point_in_polygon", ("customer", "nation"), _point_in_polygon,
+          "Point-in-polygon vs broadcast polygon set (north_star)")
+
+
+def _raster_tiles(d: str) -> str:
+    # raster->vector: cell aggregate + reconstructed tile corner geometry
+    cx, cy = CUST_PT
+    ck = cell_key(cx, cy, d)
+    return f"""
+select cell,
+       cast((cell div 100) * {CELL_M} as bigint) as x0,
+       cast((cell % 100) * {CELL_M} as bigint) as y0,
+       cast((cell div 100) * {CELL_M} + {CELL_M} as bigint) as x1,
+       cast((cell % 100) * {CELL_M} + {CELL_M} as bigint) as y1,
+       n_points, avg_acctbal
+from (
+  select cast({ck} as bigint) as cell, cast(count(*) as bigint) as n_points,
+         cast(round(avg(c_acctbal), 6) as double) as avg_acctbal
+  from customer group by {ck}
+) t
+""".replace("div", "div" if d == SPARK else "//")
+
+
+_sql_pair("raster_tiles", ("customer",), _raster_tiles,
+          "Raster<->vector tiling: cell rollup + tile polygon corners")
+
+
+# ===========================================================================
+# 4. Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding)
+# ===========================================================================
+
+def _dedup_exact(d: str) -> str:
+    # exact dedup on a normalized content key (first-2-token prefix -> md5)
+    toks = D.split_ws("text", d)
+    head = (f"array_join(slice({toks}, 1, 2), ' ')" if d == SPARK
+            else f"array_to_string(list_slice({toks}, 1, 2), ' ')")
+    return f"""
+select key_hash, cast(dup_cnt as bigint) as dup_cnt,
+       cast(keep_doc as bigint) as keep_doc
+from (
+  select md5({head}) as key_hash, count(*) as dup_cnt,
+         min(doc_id) as keep_doc
+  from documents group by md5({head})
+) t where dup_cnt > 1
+"""
+
+
+_sql_pair("dedup_exact", ("documents",), _dedup_exact,
+          "Exact dedup via content-key hash groupBy")
+
+
+def _minhash_bands(d: str, src: str = "documents") -> str:
+    """Per-doc LSH band rows: (doc_id, band_idx, band_key)."""
+    keys = D.band_keys("text", d)
+    selects = [
+        f"select doc_id, {i} as band_idx, cast({k} as bigint) as band_key "
+        f"from {src}" for i, k in enumerate(keys)]
+    return " union all ".join(selects)
+
+
+def _jaccard_expr(d: str, a: str, b: str) -> str:
+    ta = D.tokens_distinct(a, d)
+    tb = D.tokens_distinct(b, d)
+    if d == SPARK:
+        inter = f"size(array_intersect({ta}, {tb}))"
+        union = f"size(array_union({ta}, {tb}))"
+    else:
+        inter = f"len(list_intersect({ta}, {tb}))"
+        union = f"len(list_distinct(list_concat({ta}, {tb})))"
+    return f"(cast({inter} as double) / {union})"
+
+
+def _dedup_minhash_lsh(d: str) -> str:
+    # MinHash(16) + LSH(4 bands x 4 rows) candidate pairs, verified by exact
+    # Jaccard >= 0.9 on distinct-token sets. doc_id < 100 keeps the oracle
+    # cross-check tractable; the Spark plan is the banded join (scale path).
+    jac = _jaccard_expr(d, "da.text", "db.text")
+    return f"""
+with bands as ({_minhash_bands(d)}),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_idx = b.band_idx and a.band_key = b.band_key
+   and a.doc_id < b.doc_id
+  where a.doc_id < 100 and b.doc_id < 100
+)
+select c.doc_a, c.doc_b,
+       cast(round({jac}, 6) as double) as jaccard
+from cand c
+join documents da on da.doc_id = c.doc_a
+join documents db on db.doc_id = c.doc_b
+where {jac} >= 0.9
+"""
+
+
+_sql_pair("dedup_minhash_lsh", ("documents",), _dedup_minhash_lsh,
+          "MinHash+LSH banded near-dup join with exact-Jaccard verify")
+
+
+def _dedup_simhash(d: str) -> str:
+    return f"""
+select doc_id, cast({D.simhash('text', d)} as bigint) as simhash16
+from documents
+"""
+
+
+_sql_pair("dedup_simhash", ("documents",), _dedup_simhash,
+          "16-bit SimHash fingerprint per document")
+
+
+def _ngram_jaccard(d: str) -> str:
+    # word-bigram shingle Jaccard via explode + equi-join + agg (scalable
+    # shape: no cross join on the Spark side at scale — the join is on the
+    # shingle hash). Both sides here share the same SQL shape.
+    toks = D.split_ws("text", d)
+    n = D.lsize(toks, d)
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]; generate
+    # [1..max(n-1,1)] then filter to valid shingle starts.
+    idx = D.lfilter(D.seq1(f"greatest(({n}) - 1, 1)", d),
+                    f"i -> i <= ({n}) - 1", d)
+    grams = D.lmap(idx,
+                   f"i -> {D.at(toks, 'i', d)} || '_' || {D.at(toks, 'i + 1', d)}",
+                   d)
+    dgrams = (f"array_distinct({grams})" if d == SPARK
+              else f"list_distinct({grams})")
+    explode = (f"select doc_id, explode({dgrams}) as g from documents where doc_id < 60"
+               if d == SPARK else
+               f"select doc_id, unnest({dgrams}) as g from documents where doc_id < 60")
+    return f"""
+with shingles as ({explode}),
+sizes as (select doc_id, count(*) as sz from shingles group by doc_id),
+shared as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as inter
+  from shingles a join shingles b on a.g = b.g and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select s.doc_a, s.doc_b,
+       cast(round(cast(s.inter as double) / (sa.sz + sb.sz - s.inter), 6)
+            as double) as jaccard
+from shared s
+join sizes sa on sa.doc_id = s.doc_a
+join sizes sb on sb.doc_id = s.doc_b
+where cast(s.inter as double) / (sa.sz + sb.sz - s.inter) >= 0.5
+"""
+
+
+_sql_pair("ngram_jaccard", ("documents",), _ngram_jaccard,
+          "Word-bigram shingle Jaccard near-dup via explode/equi-join/agg")
+
+
+# ===========================================================================
+# 5. Embedding similarity (brute-force cosine, near-dup, LSH buckets)
+# ===========================================================================
+
+def _dot64(d: str, a: str, b: str) -> str:
+    if d == SPARK:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+                f"cast(y as double)), cast(0 as double), (acc, v) -> acc + v)")
+    return (f"list_aggregate(list_transform(range(1, 65), i -> "
+            f"cast(list_extract({a}, i) as double) * "
+            f"cast(list_extract({b}, i) as double)), 'sum')")
+
+
+def _norm(d: str, a: str) -> str:
+    if d == SPARK:
+        return (f"sqrt(aggregate(transform({a}, x -> cast(x as double) * "
+                f"cast(x as double)), cast(0 as double), (acc, v) -> acc + v))")
+    return (f"sqrt(list_aggregate(list_transform({a}, x -> "
+            f"cast(x as double) * cast(x as double)), 'sum'))")
+
+
+def _embed_neardup(d: str) -> str:
+    cos = (f"({_dot64(d, 'a.embedding', 'b.embedding')} / "
+           f"({_norm(d, 'a.embedding')} * {_norm(d, 'b.embedding')}))")
+    return f"""
+select a.vec_id as vec_a, b.vec_id as vec_b,
+       cast(round({cos}, 6) as double) as cosine
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where {cos} >= 0.35
+"""
+
+
+_sql_pair("embed_neardup", ("embeddings",), _embed_neardup,
+          "Embedding-cosine near-dup pairs (exact fold, bit-parity dot)")
+
+
+def _ann_topk(d: str) -> str:
+    cos = (f"({_dot64(d, 'q.embedding', 'c.embedding')} / "
+           f"({_norm(d, 'q.embedding')} * {_norm(d, 'c.embedding')}))")
+    return f"""
+select query_id, cand_id, cosine, cast(rn as bigint) as rank
+from (
+  select q.vec_id as query_id, c.vec_id as cand_id,
+         cast(round({cos}, 6) as double) as cosine,
+         row_number() over (partition by q.vec_id
+                            order by round({cos}, 6) desc, c.vec_id asc) as rn
+  from embeddings q cross join embeddings c
+  where q.vec_id < 32 and c.vec_id <> q.vec_id
+) t where rn <= 5
+"""
+
+
+_sql_pair("ann_topk", ("embeddings",), _ann_topk,
+          "Brute-force cosine top-k (baseline ANN); rank on rounded sim")
+
+
+# deterministic integer hyperplanes for LSH bucketing: w[j][d] in [-6, 6]
+_ANN_PLANES = 8
+
+
+def _ann_lsh_bucket(d: str) -> str:
+    bits = []
+    for j in range(_ANN_PLANES):
+        w = f"((({j + 1}) * 31 + (i - 1) * 17) % 13 - 6)"
+        proj = (f"aggregate(transform(sequence(1, 64), i -> {w} * "
+                f"cast(element_at(embedding, i) as double)), "
+                f"cast(0 as double), (acc, v) -> acc + v)" if d == SPARK else
+                f"list_aggregate(list_transform(range(1, 65), i -> {w} * "
+                f"cast(list_extract(embedding, i) as double)), 'sum')")
+        bits.append(f"(case when ({proj}) > 0 then {1 << j} else 0 end)")
+    bucket = "(" + " + ".join(bits) + ")"
+    return f"""
+select cast(bucket as bigint) as bucket, cast(count(*) as bigint) as n,
+       cast(min(vec_id) as bigint) as min_vec
+from (select vec_id, {bucket} as bucket from embeddings) t
+group by bucket
+"""
+
+
+_sql_pair("ann_lsh_bucket", ("embeddings",), _ann_lsh_bucket,
+          "Random-hyperplane LSH bucket assignment (deterministic planes)")
+
+
+# ===========================================================================
+# 6. Text analysis (lang-id, quality, token counts, fingerprint)
+# ===========================================================================
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "fast", "slow"],
+    "de": ["table", "value", "group", "und"],
+    "es": ["row", "data", "stream", "uno"],
+    "fr": ["query", "window", "agg", "une"],
+    "zh": ["join", "merge", "batch", "zhong"],
+}
+
+
+def _langid(d: str) -> str:
+    toks = D.tokens_distinct("text", d)
+    scores = {}
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        lit = D.str_arr_lit(markers, d)
+        if d == SPARK:
+            scores[lang] = f"size(array_intersect({toks}, {lit}))"
+        else:
+            scores[lang] = f"len(list_intersect({toks}, {lit}))"
+    langs = sorted(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    pick = "case " + " ".join(
+        f"when s_{x} = {best.replace('s_', 's_')} and {best} = s_{x} then '{x}'"
+        for x in langs) + " end"
+    # first-max tie-break in fixed lang order
+    pick = ("case " + " ".join(f"when s_{x} >= {best} then '{x}'"
+                               for x in langs) + " end")
+    inner = ", ".join(f"{expr} as s_{lang}" for lang, expr in scores.items())
+    return f"""
+select doc_id, {pick} as pred_lang, cast({best} as bigint) as score,
+       case when {pick} = lang then 1 else 0 end as agrees
+from (select doc_id, lang, {inner} from documents) t
+"""
+
+
+_sql_pair("langid", ("documents",), _langid,
+          "n-gram/stopword language-ID heuristic with argmax tie-break")
+
+
+def _quality_score(d: str) -> str:
+    toks = D.split_ws("text", d)
+    dtoks = D.tokens_distinct("text", d)
+    n = D.lsize(toks, d)
+    nd = D.lsize(dtoks, d)
+    charsum = D.lsum(D.lmap(toks, "t -> length(t)", d), d)
+    return f"""
+select doc_id, cast({n} as bigint) as n_tokens,
+       cast({nd} as bigint) as n_distinct,
+       cast(round(cast({nd} as double) / {n}, 6) as double) as distinct_ratio,
+       cast(round(cast({charsum} as double) / {n}, 6) as double) as avg_token_len,
+       cast(round(least(1.0, cast({n} as double) / 100)
+                  * (cast({nd} as double) / {n}), 6) as double) as quality
+from documents where {n} > 0
+"""
+
+
+_sql_pair("quality_score", ("documents",), _quality_score,
+          "Document quality scoring (length/diversity ratios)")
+
+
+def _token_count(d: str) -> str:
+    toks = D.split_ws("text", d)
+    rex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    bpe = (f"regexp_count(text, '{rex}')" if d == SPARK
+           else f"len(regexp_extract_all(text, '{rex}'))")
+    return f"""
+select doc_id, cast({D.lsize(toks, d)} as bigint) as ws_tokens,
+       cast({bpe} as bigint) as bpe_ish_tokens
+from documents
+"""
+
+
+_sql_pair("token_count", ("documents",), _token_count,
+          "Whitespace + BPE-ish regex token counting")
+
+
+# precomputed rolling-hash powers: B^i mod p for order-sensitive fingerprint
+_FP_P = (1 << 31) - 1
+_FP_B = 1000003
+_FP_POWS = []
+_acc = 1
+for _ in range(256):
+    _FP_POWS.append(_acc)
+    _acc = (_acc * _FP_B) % _FP_P
+
+
+def _fingerprint(d: str) -> str:
+    toks = D.split_ws("text", d)
+    pows = D.arr_lit(_FP_POWS, d)
+    body = (f"(({D.polyhash(D.at(toks, 'i', d), d)}) % {_FP_P}) * "
+            f"{D.at(pows, 'i', d)} % {_FP_P}")
+    # same descending-sequence guard as ngram_jaccard
+    idx = D.lfilter(D.seq1(f"greatest(least({D.lsize(toks, d)}, 256), 1)", d),
+                    f"i -> i <= {D.lsize(toks, d)}", d)
+    terms = D.lmap(idx, f"i -> {body}", d)
+    return f"""
+select doc_id, cast(({D.lsum(terms, d)}) % {_FP_P} as bigint) as fingerprint
+from documents
+"""
+
+
+_sql_pair("fingerprint", ("documents",), _fingerprint,
+          "Order-sensitive rolling-hash document fingerprint")
+
+
+# ===========================================================================
+# 7. Multimodal plumbing (binary columns + typed metadata; decode stubbed)
+# ===========================================================================
+
+def _media_meta(d: str) -> str:
+    blob = ("cast(text as binary)" if d == SPARK else "encode(text)")
+    prefix = (f"substring(text, 1, 8)")
+    return f"""
+select doc_id, cast(octet_length({blob}) as bigint) as n_bytes,
+       {prefix} as magic, lang as media_lang
+from documents
+"""
+
+
+_sql_pair("media_meta", ("documents",), _media_meta,
+          "Opaque-binary metadata extraction (multimodal column plumbing)")
+
+
+# ===========================================================================
+# 8. Non-SQL-expressible operators (driver does rows-only checks)
+# ===========================================================================
+
+def _cqi_score_fn(spark, sf_dir: str):
+    from ..sources.webways import score_documents
+    return score_documents(spark, sf_dir)
+
+
+_reg(Query("cqi_score_ways", ("documents",), fn=_cqi_score_fn,
+           doc="Flagship: documents -> pages -> extraction -> distributed "
+               "spatial join -> full CQI scoring (SURVEY §2.8 R1-R18; "
+               "golden-verified kernel, non-SQL-expressible)"))
+
+
+def _media_decode_fn(spark, sf_dir: str):
+    from ..operators.media import decode_media_features
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_media_features(docs)
+
+
+_reg(Query("media_decode", ("documents",), fn=_media_decode_fn,
+           doc="Multimodal decode pipeline over opaque binary columns "
+               "(deterministic fake decode; real libs stubbed)"))
+
+
+def _ann_topk_blocked_fn(spark, sf_dir: str):
+    from ..operators.ann import ann_topk_blocked
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_blocked(emb, n_queries=32, k=5)
+
+
+_reg(Query("ann_topk_blocked", ("embeddings",), fn=_ann_topk_blocked_fn,
+           doc="Scale-path ANN: numpy-blocked matmul inside mapInPandas; "
+               "pytest asserts agreement with the ann_topk oracle query"))

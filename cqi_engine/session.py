@@ -35,3 +35,36 @@ def build_session(app_name: str = "cqi-engine", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``cqi_engine`` importable on executor Python workers.
+
+    mapInPandas closures reference this package by module, so workers must
+    be able to import it regardless of the driver process's CWD (the
+    harness may import ``__spark_entry__`` from anywhere).  Zip the package
+    and register it via ``addPyFile`` — idempotent per session.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"cqi_engine_pyfiles_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in sorted(files):
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                arc = os.path.join("cqi_engine",
+                                   os.path.relpath(full, pkg_dir))
+                zf.write(full, arc)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)

@@ -1,0 +1,86 @@
+"""Driver-compare rehearsal: run every catalog query on Spark AND its
+DuckDB oracle at sf0.01, and require an order-insensitive exact match
+(row count + per-cell values after sorting columns by name) — the same
+contract CORRECTNESS_r{N}.json grades.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from cqi_engine.queries.catalog import CATALOG, run_query
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+ORACLE_QUERIES = sorted(n for n, q in CATALOG.items() if q.duck_sql)
+ROWS_ONLY_QUERIES = sorted(n for n, q in CATALOG.items() if not q.duck_sql)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as "
+                f"select * from '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _canon(val):
+    if val is None:
+        return "<null>"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "<nan>"
+        if val == int(val) and abs(val) < 1e15:
+            return str(int(val))
+        return repr(val)
+    if isinstance(val, bool):
+        return str(int(val))
+    return str(val)
+
+
+def _table_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    q = CATALOG[name]
+    sdf = run_query(spark, SF_DIR, q)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    dres = duck.sql(q.duck_sql)
+    dcols = dres.columns
+    drows = dres.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), \
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    skey, dkey = _table_key(srows, scols), _table_key(drows, dcols)
+    mism = [(a, b) for a, b in zip(skey, dkey) if a != b]
+    assert not mism, f"{name}: {len(mism)} value mismatches; first: {mism[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_smoke(spark, name):
+    q = CATALOG[name]
+    sdf = run_query(spark, "/root/testdata/sf0.001", q)
+    assert sdf.count() >= 0
+    assert sdf.schema is not None
+
+
+def test_ann_blocked_matches_oracle_query(spark):
+    """The numpy scale path must agree with the expression-fold baseline."""
+    base = run_query(spark, SF_DIR, CATALOG["ann_topk"]).collect()
+    blocked = run_query(spark, SF_DIR, CATALOG["ann_topk_blocked"]).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    b = {key(r): (r["cand_id"], round(r["cosine"], 6)) for r in base}
+    s = {key(r): (r["cand_id"], round(r["cosine"], 6)) for r in blocked}
+    assert b == s
