@@ -139,10 +139,31 @@ def _make_side_rows(df: pd.DataFrame, typ: str, side: str) -> pd.DataFrame:
 
 
 def run_offset_stage(df: pd.DataFrame) -> pd.DataFrame:
-    """Emit centerline + synthesized side rows (union, ref:362-364,1593)."""
+    """Emit centerline + synthesized side rows (union, ref:362-364,1593).
+
+    The union is a hand-rolled per-column ``np.concatenate`` as object
+    arrays: ``pd.concat`` on ~200 mixed object/float columns falls into a
+    per-element all-NA validation path that costs more than the entire rest
+    of the scoring kernel (measured 52% of batch time).
+    """
     flags = offset_flags(df)
     parts = [df]
     for (typ, side), mask in flags.items():
         if mask.any():
             parts.append(_make_side_rows(df[mask], typ, side))
-    return pd.concat(parts, ignore_index=True)
+    if len(parts) == 1:
+        return df.reset_index(drop=True)
+    cols: list[str] = list(df.columns)
+    seen = set(cols)
+    for p in parts[1:]:
+        cols.extend(c for c in p.columns if c not in seen)
+        seen.update(p.columns)
+    data = {
+        c: np.concatenate([
+            p[c].to_numpy(dtype=object, copy=False) if c in p.columns
+            else np.full(len(p), None, dtype=object)
+            for p in parts
+        ])
+        for c in cols
+    }
+    return pd.DataFrame(data)

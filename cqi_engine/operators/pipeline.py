@@ -130,9 +130,16 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
 
 
 def dwithin_pairs(points: DataFrame, road_cells: DataFrame) -> DataFrame:
-    """J4: hash join on cell + null-safe layer guard + exact distance refine."""
+    """J4: hash join on cell + null-safe layer guard + exact distance refine.
+
+    SHUFFLE_HASH hint: Catalyst has no size estimate for mapInPandas output
+    and would otherwise broadcast the road-cell index — a driver-side
+    serial collect of every road geometry (measured ~25 s at 250k pages
+    locally; unbounded at web scale).  Partition-by-cell hash join is the
+    correct physical plan at every scale; AQE still handles skewed cells.
+    """
     joined = points.join(
-        road_cells,
+        road_cells.hint("shuffle_hash"),
         on=[points["cell"] == road_cells["cell"],
             points["layer"].eqNullSafe(road_cells["road_layer"])],
         how="inner",
@@ -167,65 +174,74 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame) -> DataFrame:
     return joined.mapInPandas(refine, schema)
 
 
-def sidepath_aggregates(points: DataFrame, pairs: DataFrame) -> DataFrame:
-    """A1-A5 as grouped aggregations with map-side partials (two-level).
+_NULLK = "\x00null"
 
-    Counter parity: the reference seeds every first appearance with 2
-    (ref:cycling_quality_index.py:1567-1572), so a key seen at n points
-    contributes n+1 — reproduced as count + 1.
+
+def sidepath_aggregates(points: DataFrame, pairs: DataFrame) -> DataFrame:
+    """A1-A5 in exactly TWO aggregations + one join.
+
+    The per-way candidate set is small (a handful of adjacent roads), so
+    after the single `collect_list` shuffle every counter — the seed-2
+    counts (ref:cycling_quality_index.py:1567-1572: a key seen at n points
+    contributes n+1), the rank-argmax (A3), the name mode (A4), and the
+    per-highway maxspeed map (A5) — is computed with higher-order array
+    expressions inside whole-stage codegen.  The previous formulation spent
+    ~12 exchanges (3 distincts, 6 groupBys, 2 windows, 6 joins) on the same
+    result; stage-count is pure overhead at any cluster size.
     """
     checks = points.groupBy("way_id").agg(F.count("*").alias("checks"))
 
-    def keyed_counts(col: str, alias: str) -> DataFrame:
-        distinct = pairs.select("way_id", "pt_seq", col).distinct()
-        return distinct.groupBy("way_id", F.col(col).alias(alias)).agg(
-            (F.count("*") + F.lit(1)).alias(f"{alias}_cnt"))
+    arr = pairs.groupBy("way_id").agg(
+        F.collect_list(F.struct(
+            F.col("pt_seq").alias("pt"),
+            F.col("road_id").alias("rid"),
+            F.coalesce(F.col("road_highway"), F.lit(_NULLK)).alias("hw"),
+            F.coalesce(F.col("road_name"), F.lit(_NULLK)).alias("nm"),
+            F.col("road_maxspeed").alias("ms"),
+        )).alias("a"))
 
-    id_sum = keyed_counts("road_id", "k").groupBy("way_id").agg(
-        F.sum("k_cnt").alias("id_sum"))
-    hw_counts = keyed_counts("road_highway", "hw")
-    hw_sum = hw_counts.groupBy("way_id").agg(F.sum("hw_cnt").alias("hw_sum"))
-    name_counts = keyed_counts("road_name", "nm")
-    name_sum = name_counts.groupBy("way_id").agg(
-        F.sum("nm_cnt").alias("name_sum"))
+    def fam_sum(field: str) -> str:
+        # sum over keys of (distinct points with key + 1)
+        # = countDistinct(pt, key) + countDistinct(key)
+        return (f"size(array_distinct(transform(a, x -> struct(x.pt, x.{field}))))"
+                f" + size(array_distinct(transform(a, x -> x.{field})))")
 
-    # argmax highway with reference rank order (A3)
-    rank_expr = F.coalesce(
-        *[F.when(F.col("hw") == F.lit(h), F.lit(i))
-          for i, h in enumerate(C.HIGHWAY_CLASS_RANKING) if h is not None],
-        F.lit(len(C.HIGHWAY_CLASS_RANKING) - 1))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("way_id").orderBy(
-        F.desc("hw_cnt"), F.asc(rank_expr))
-    ranked = hw_counts.withColumn("rn", F.row_number().over(w)) \
-        .withColumn("rank_idx", rank_expr)
-    argmax_hw = ranked.filter(F.col("rn") == 1).select(
+    ranking = [h for h in C.HIGHWAY_CLASS_RANKING if h is not None]
+    rank_case = ("case hk " + " ".join(
+        f"when '{h}' then {i}" for i, h in enumerate(ranking))
+        + f" else {len(ranking)} end")
+    # per-hw count struct: (cnt, neg_rank, hw) -> array_max = argmax by
+    # (count desc, rank asc); sentinel/unranked classes map to NULL after.
+    hw_keys = "array_distinct(transform(a, x -> x.hw))"
+    hw_cnt = ("size(array_distinct(filter(transform(a, x -> struct(x.pt, x.hw)),"
+              " p -> p.hw = hk))) + 1")
+    best_hw = (f"array_max(transform({hw_keys}, hk -> "
+               f"struct(({hw_cnt}) as c, -({rank_case}) as nr, hk as hw))).hw")
+    argmax_hw = (f"case when ({best_hw}) in ({', '.join(repr(h) for h in ranking)}) "
+                 f"then ({best_hw}) end")
+
+    # mode name: array_min of (-cnt, name) = (count desc, name asc), nulls out
+    nm_keys = f"filter(array_distinct(transform(a, x -> x.nm)), k -> k <> '{_NULLK}')"
+    nm_cnt = ("size(array_distinct(filter(transform(a, x -> struct(x.pt, x.nm)),"
+              " p -> p.nm = nk))) + 1")
+    mode_name = (f"array_min(transform({nm_keys}, nk -> "
+                 f"struct(-({nm_cnt}) as c, nk as nm))).nm")
+
+    # per-highway max maxspeed map (array_max ignores NULL ms)
+    ms_map = (f"map_from_entries(filter(transform({hw_keys}, hk -> "
+              f"struct(hk as k, array_max(transform(filter(a, x -> x.hw = hk), "
+              f"x -> x.ms)) as v)), e -> e.v is not null))")
+
+    agg = arr.select(
         "way_id",
-        F.when(F.col("rank_idx") < len(C.HIGHWAY_CLASS_RANKING) - 1,
-               F.element_at(F.lit(
-                   [h for h in C.HIGHWAY_CLASS_RANKING if h is not None]),
-                   F.col("rank_idx").cast("int") + 1)).alias("argmax_hw"))
-
-    # mode name (A4): deterministic tie-break (count desc, name asc)
-    wn = Window.partitionBy("way_id").orderBy(F.desc("nm_cnt"), F.asc("nm"))
-    mode_name = name_counts.filter(F.col("nm").isNotNull()) \
-        .withColumn("rn", F.row_number().over(wn)) \
-        .filter(F.col("rn") == 1).select("way_id",
-                                         F.col("nm").alias("mode_name"))
-
-    # per-highway max maxspeed map (A5)
-    ms = pairs.groupBy("way_id", "road_highway").agg(
-        F.max("road_maxspeed").alias("ms"))
-    ms_map = ms.filter(F.col("ms").isNotNull()).groupBy("way_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(
-                F.coalesce(F.col("road_highway"), F.lit("\x00null")),
-                F.col("ms")))).alias("ms_map"))
-
-    agg = checks
-    for d in (id_sum, hw_sum, name_sum, argmax_hw, mode_name, ms_map):
-        agg = agg.join(d, "way_id", "left")
-    return agg
+        F.expr(fam_sum("rid")).cast("long").alias("id_sum"),
+        F.expr(fam_sum("hw")).cast("long").alias("hw_sum"),
+        F.expr(fam_sum("nm")).cast("long").alias("name_sum"),
+        F.expr(argmax_hw).alias("argmax_hw"),
+        F.expr(mode_name).alias("mode_name"),
+        F.expr(ms_map).alias("ms_map"),
+    )
+    return checks.join(agg, "way_id", "left")
 
 
 def apply_sidepath_spark(ways: DataFrame, agg: DataFrame) -> DataFrame:
@@ -322,20 +338,33 @@ def score_batches(ways_with_sidepath: DataFrame) -> DataFrame:
     return ways_with_sidepath.mapInPandas(run, OUTPUT_SCHEMA)
 
 
-def score_pages(pages: DataFrame) -> DataFrame:
-    """pages -> scored way table (the engine's flagship query)."""
+def score_pages(pages: DataFrame,
+                tag_columns: list[str] | None = None) -> DataFrame:
+    """pages -> scored way table (the engine's flagship query).
+
+    `tag_columns` narrows the carried tag set when the corpus's tag
+    universe is known (column pruning is the engine's scan contract, P1);
+    the kernel NULL-fills anything missing, so narrowing never changes
+    results — only memory traffic.
+    """
     from ..sources.pages import extract_ways
-    ways = extract_ways(pages, WAY_TAG_COLUMNS)
+    ways = extract_ways(pages, tag_columns or WAY_TAG_COLUMNS)
     return score_way_table(ways)
 
 
 def score_way_table(ways: DataFrame) -> DataFrame:
+    """Persist posture: `ways` feeds three consumers (paths, roads, final
+    writeback join) and `points`/`pairs` feed the multi-family aggregation —
+    without persist the whole upstream (page synthesis -> extraction) would
+    recompute per consumer.  On a cluster the same boundaries would be
+    persisted (MEMORY_AND_DISK) or checkpointed to an Iceberg snapshot."""
+    ways = ways.persist()
     paths = ways.filter(F.col("highway").isin(C.PATH_HIGHWAYS))
     roads = ways.filter(~F.col("highway").isin(C.ROAD_EXCLUDED_HIGHWAYS)
                         | F.col("highway").isNull())
-    points = sample_points(paths)
+    points = sample_points(paths).persist()
     rcells = road_cell_index(roads)
-    pairs = dwithin_pairs(points, rcells)
+    pairs = dwithin_pairs(points, rcells).persist()
     agg = sidepath_aggregates(points, pairs)
     enriched = apply_sidepath_spark(ways, agg)
     return score_batches(enriched)

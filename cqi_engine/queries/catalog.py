@@ -646,7 +646,7 @@ select s.doc_a, s.doc_b,
 from shared s
 join sizes sa on sa.doc_id = s.doc_a
 join sizes sb on sb.doc_id = s.doc_b
-where cast(s.inter as double) / (sa.sz + sb.sz - s.inter) >= 0.5
+where cast(s.inter as double) / (sa.sz + sb.sz - s.inter) >= 0.08
 """
 
 

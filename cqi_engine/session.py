@@ -27,6 +27,12 @@ def build_session(app_name: str = "cqi-engine", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # UDF-heavy stages cost ~ms/row, not ~ns/byte: the 64 MB default
+        # advisory size coalesces into few fat partitions whose Python
+        # kernels become stragglers.  8 MB keeps post-shuffle parallelism
+        # at small-batch row counts without exploding task counts.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory",

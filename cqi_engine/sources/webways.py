@@ -31,7 +31,19 @@ FIXTURE_WAYS = "/root/reference/data/test_ways/test_ways.geojson"
 
 @functools.lru_cache(maxsize=1)
 def fixture_way_records() -> list[tuple[str, dict, list]]:
-    """(way_id, tags, lonlat_coords) for the 138 fixture ways."""
+    """(way_id, tags, lonlat_coords) for the 138 fixture ways, plus one
+    synthetic (path, road) pair 10 m apart.
+
+    The reference corpus's own sidepath fixtures sit 22.24 m from their
+    mainroads — just outside the 22 m buffer (the golden file scores them
+    all ``proc_sidepath: no``), so without the extra pair the web-scale
+    spatial join would only ever exercise its negative path.  The synthetic
+    pair makes every clone block produce genuine dwithin matches and
+    highway/maxspeed/name transfers (A1-A5) at any scale.
+    """
+    from ..geometry import (lonlat_to_metric, metric_to_lonlat,
+                            offset_polyline)
+
     ways = read_geojson_lines(FIXTURE_WAYS).drop(columns=["geom_metric"])
     out = []
     for _, row in ways.iterrows():
@@ -39,6 +51,20 @@ def fixture_way_records() -> list[tuple[str, dict, list]]:
                 if c != "geom_lonlat" and row[c] is not None}
         out.append((str(tags.get("id", "way")), tags,
                     np.asarray(row["geom_lonlat"], dtype=float)))
+
+    base = next(c for i, t, c in out if i == "sidepath_check01")
+    x, y = lonlat_to_metric(base[:, 0], base[:, 1])
+    path_metric = np.column_stack([x, y])
+    road_metric = offset_polyline(path_metric, 10.0)
+    rlon, rlat = metric_to_lonlat(road_metric[:, 0], road_metric[:, 1])
+    out.append(("scalepair_path", {
+        "id": "scalepair_path", "highway": "path", "bicycle": "yes",
+        "segregated": "no", "surface": "asphalt", "width": "2.5",
+    }, base.copy()))
+    out.append(("scalepair_road", {
+        "id": "scalepair_road", "highway": "secondary",
+        "name": "Scale Pair Road", "maxspeed": "50", "surface": "asphalt",
+    }, np.column_stack([rlon, rlat])))
     return out
 
 
@@ -66,8 +92,77 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, PAGES_SCHEMA)
 
 
+@functools.lru_cache(maxsize=1)
+def active_tag_columns() -> tuple[str, ...]:
+    """Whitelisted tags that actually occur in this corpus.
+
+    The generic pipeline carries the full ~190-column retainfields
+    whitelist (ref:parameter.py:270-464); for the web-scale synthesis we
+    know the tag universe up front, and carrying the all-NULL remainder
+    through Arrow batches + cache roughly doubles memory traffic — the
+    binding constraint for multi-core scaling.  The scoring kernel
+    NULL-fills missing columns (schema alignment P3), so the result is
+    identical (pytest-pinned by the golden corpus run).
+    """
+    from .. import config as C
+    keys = {k for _wid, tags, _c in fixture_way_records() for k in tags}
+    return tuple(c for c in C.TAG_WHITELIST if c in keys)
+
+
+def ways_from_documents(docs: DataFrame) -> DataFrame:
+    """Fused synthesis + extraction: doc_id -> page -> way row in ONE
+    mapInPandas stage.
+
+    The unfused path materializes the full pages table (html bytes + text)
+    through an extra Arrow round trip just so the next stage can parse it
+    back; fusing removes a stage and halves the Python-boundary traffic.
+    The per-row byte-identity invariant (BASELINE input_hint) is asserted
+    inline: the envelope text is round-tripped through the same
+    ``parse_way_text`` the unfused reader uses, and any mismatch raises.
+    """
+    from ..sources.pages import parse_way_text
+    from pyspark.sql import types as T
+
+    fixtures = fixture_way_records()
+    n_fix = len(fixtures)
+    tag_columns = list(active_tag_columns())
+
+    fields = [T.StructField("url", T.StringType())]
+    fields += [T.StructField(c, T.StringType()) for c in tag_columns]
+    fields.append(T.StructField(
+        "geom_lonlat", T.ArrayType(T.ArrayType(T.DoubleType()))))
+    out_schema = T.StructType(fields)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                base_id, tags, coords = fixtures[int(doc_id) % n_fix]
+                clone = int(doc_id) // n_fix
+                wid = base_id if clone == 0 else f"{base_id}__d{clone}"
+                tags = dict(tags)
+                tags["id"] = wid
+                shifted = coords.copy()
+                shifted[:, 0] += 0.2 * clone
+                page = page_row(wid, tags, shifted.tolist())
+                rec = parse_way_text(page["text"])
+                if rec is None or rec.get("id") != wid:
+                    raise ValueError(
+                        f"byte-identity round trip failed for {page['url']}")
+                row = {"url": page["url"]}
+                for c in tag_columns:
+                    v = rec.get(c)
+                    row[c] = None if v is None else str(v)
+                row["geom_lonlat"] = rec.get("geom_lonlat")
+                recs.append(row)
+            yield pd.DataFrame(
+                recs, columns=["url"] + tag_columns + ["geom_lonlat"])
+
+    return docs.select("doc_id").mapInPandas(gen, out_schema)
+
+
 def score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query: documents table -> scored way table."""
-    from ..operators.pipeline import score_pages
+    from ..operators.pipeline import score_way_table
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return score_pages(pages_from_documents(docs))
+    return score_way_table(ways_from_documents(docs))

@@ -1,0 +1,138 @@
+"""Skew salting, kNN ring search, streaming ingest, checkpoint resume."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------- skew ----
+def test_salted_join_matches_unsalted(spark):
+    from cqi_engine.operators.skew import salted_join, hot_cells, cell_histogram
+
+    # 1000 points in one hot cell + 50 spread out; index rows per cell
+    pts = spark.range(1050).select(
+        F.col("id").cast("string").alias("way_id"),
+        F.lit(0).alias("pt_seq"),
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id") % 40)
+         .cast("long").alias("cell"))
+    idx = spark.range(40).select(
+        F.col("id").cast("long").alias("cell"),
+        F.concat(F.lit("road"), F.col("id")).alias("road_id"))
+
+    hist = cell_histogram(pts)
+    hot = hot_cells(hist, threshold=4.0)
+    assert [r["cell"] for r in hot.collect()] == [7]
+
+    joined = salted_join(pts, idx, on_extra=[])
+    plain = pts.join(idx, "cell").select("way_id", "road_id")
+    got = {(r["way_id"], r["road_id"])
+           for r in joined.select(pts["way_id"], idx["road_id"]).collect()}
+    want = {(r["way_id"], r["road_id"]) for r in plain.collect()}
+    assert got == want  # salting must never change join results
+
+
+# ----------------------------------------------------------------- knn ----
+def test_knn_ring_search(spark):
+    from cqi_engine.operators.knn import knn_ways
+
+    # 3 query points, 5 straight-line ways; cell size 100 in both axes
+    pts = spark.createDataFrame(
+        [("p1", 105.0, 105.0, 1, 1), ("p2", 350.0, 50.0, 3, 0),
+         ("p3", 20.0, 20.0, 0, 0)],
+        ["pt_id", "x", "y", "cx", "cy"])
+    ways = []
+    for i in range(5):
+        x0 = i * 100.0
+        ways.append((f"w{i}", int(x0 // 100), 0, [[x0, 0.0], [x0, 300.0]]))
+        ways.append((f"w{i}", int(x0 // 100), 1, [[x0, 0.0], [x0, 300.0]]))
+        ways.append((f"w{i}", int(x0 // 100), 2, [[x0, 0.0], [x0, 300.0]]))
+    idx = spark.createDataFrame(
+        ways, T.StructType([
+            T.StructField("road_id", T.StringType()),
+            T.StructField("cellx", T.IntegerType()),
+            T.StructField("celly", T.IntegerType()),
+            T.StructField("road_geom",
+                          T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]))
+
+    out = knn_ways(pts, idx, k=2, max_ring=2)
+    rows = {(r["pt_id"], r["rank"]): (r["road_id"], r["dist"])
+            for r in out.collect()}
+    assert rows[("p1", 1)] == ("w1", 5.0)     # x=100 line, 5 m away
+    assert rows[("p1", 2)] == ("w2", 95.0)
+    assert rows[("p2", 1)][0] in ("w3", "w4")
+    assert rows[("p3", 1)] == ("w0", 20.0)
+
+
+# ----------------------------------------------------------- streaming ----
+def test_streaming_scoring_sink(spark, tmp_path):
+    from cqi_engine.io import read_geojson_lines
+    from cqi_engine.sources.pages import pages_dataframe
+    from cqi_engine.streaming.ingest import read_pages_stream, scoring_sink
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "scored_out")
+    ckpt = str(tmp_path / "ckpt")
+    ways = read_geojson_lines(
+        "/root/reference/data/test_ways/test_ways.geojson").drop(
+        columns=["geom_metric"])
+    pages_dataframe(spark, ways).write.parquet(src)
+
+    stream = read_pages_stream(spark, src, max_files_per_trigger=2)
+    q = scoring_sink(stream, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    scored = spark.read.parquet(out)
+    assert scored.count() == 164  # the golden row multiplicity end-to-end
+    assert "index" in scored.columns
+
+
+def test_streaming_crawl_stats(spark, tmp_path):
+    from cqi_engine.io import read_geojson_lines
+    from cqi_engine.sources.pages import pages_dataframe
+    from cqi_engine.streaming.ingest import read_pages_stream, crawl_stats_query
+
+    src = str(tmp_path / "pages_in2")
+    ways = read_geojson_lines(
+        "/root/reference/data/test_ways/test_ways.geojson").drop(
+        columns=["geom_metric"])
+    pages_dataframe(spark, ways).write.parquet(src)
+    stream = read_pages_stream(spark, src)
+    q = (crawl_stats_query(stream, str(tmp_path / "ckpt2"))
+         .queryName("crawl_stats").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    stats = spark.sql("select sum(n_pages) as n from crawl_stats").collect()
+    assert stats[0]["n"] == 138
+
+
+# ----------------------------------------------------------- checkpoint ----
+def test_checkpoint_resume(spark, tmp_path):
+    from cqi_engine.ops.checkpoint import (completed_partitions,
+                                           read_snapshot, run_partitioned)
+
+    out = str(tmp_path / "snap")
+    calls = []
+
+    def job(s, pid):
+        calls.append(pid)
+        return s.range(10).select(
+            (F.col("id") + F.lit(int(pid) * 100)).alias("v"))
+
+    r1 = run_partitioned(spark, out, ["0", "1"], job, input_snapshot="s1")
+    assert r1["ran"] == ["0", "1"]
+    # simulate a later run over a superset: completed partitions skipped
+    r2 = run_partitioned(spark, out, ["0", "1", "2"], job,
+                         input_snapshot="s1")
+    assert r2["skipped"] == ["0", "1"] and r2["ran"] == ["2"]
+    assert calls == ["0", "1", "2"]  # no partition reprocessed
+
+    final = read_snapshot(spark, out)
+    assert final.count() == 30
+    vals = sorted(r["v"] for r in final.collect())
+    assert vals == sorted(list(range(10)) + list(range(100, 110))
+                          + list(range(200, 210)))
+    assert set(completed_partitions(out)) == {"0", "1", "2"}
