@@ -1,0 +1,50 @@
+"""GeoJSON sink (S3 of SURVEY §2.1): scored way table -> GeoJSON.
+
+Small outputs collect to one FeatureCollection file (the reference's
+QgsVectorFileWriter path, ref:cycling_quality_index.py:1806); large
+outputs write distributed newline-delimited GeoJSON (one Feature per
+line, the GeoJSONL convention) so no driver collect happens — each task
+serializes its partition with ``to_json`` over a struct column, staying
+JVM-side.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _feature_struct(df: DataFrame, geometry_col: str | None):
+    props = [c for c in df.columns if c != geometry_col]
+    prop_struct = F.struct(*[F.col(c) for c in props])
+    if geometry_col is None:
+        geom = F.lit(None).cast("string").alias("geometry")
+        return F.struct(F.lit("Feature").alias("type"),
+                        prop_struct.alias("properties"), geom)
+    geom = F.struct(
+        F.lit("LineString").alias("type"),
+        F.col(geometry_col).alias("coordinates"))
+    return F.struct(F.lit("Feature").alias("type"),
+                    prop_struct.alias("properties"),
+                    geom.alias("geometry"))
+
+
+def write_geojsonl(df: DataFrame, path: str,
+                   geometry_col: str | None = "geom_lonlat") -> None:
+    """Distributed newline-delimited GeoJSON (no driver materialization)."""
+    gcol = geometry_col if geometry_col in df.columns else None
+    (df.select(F.to_json(_feature_struct(df, gcol)).alias("value"))
+     .write.mode("overwrite").text(path))
+
+
+def collect_feature_collection(df: DataFrame,
+                               geometry_col: str | None = "geom_lonlat",
+                               limit: int = 100_000) -> dict:
+    """Driver-side FeatureCollection for small exports (golden-diff sized)."""
+    gcol = geometry_col if geometry_col in df.columns else None
+    rows = (df.select(F.to_json(_feature_struct(df, gcol)).alias("value"))
+            .limit(limit).collect())
+    return {"type": "FeatureCollection",
+            "features": [json.loads(r["value"]) for r in rows]}

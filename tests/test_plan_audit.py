@@ -1,0 +1,78 @@
+"""Physical-plan audits: the plans we ship are the plans we designed.
+
+These tests read `.explain` output and fail when a regression reintroduces
+a driver-side broadcast of unbounded data, a nested-loop join, or breaks
+scan-level filter pushdown — the properties that make the engine viable at
+100 TB (they cannot be observed from row-level correctness tests).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_plan_properties(spark):
+    from cqi_engine.sources.webways import ways_from_documents
+    from cqi_engine.operators.pipeline import score_way_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = score_way_table(ways_from_documents(docs))
+    plan = plan_text(scored)
+
+    # the dwithin join must never broadcast the road-cell index (its size
+    # is unbounded at scale); nested-loop joins are forbidden outright
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the cell join runs as a shuffled hash join (hint honored)
+    assert "ShuffledHashJoin" in plan
+
+
+def test_catalog_scan_pushdown(spark):
+    """Filters and projections reach the parquet scan in catalog queries."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    q = run_query(spark, "/root/testdata/sf0.001", CATALOG["knn_sites"])
+    plan = plan_text(q)
+    assert "PushedFilters: [IsNotNull(c_custkey)" in plan \
+        or "LessThanOrEqual(c_custkey,300)" in plan
+    # column pruning: customer scan must not read c_name/c_mktsegment
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("c_mktsegment" not in ln for ln in scan_lines)
+
+
+def test_catalog_broadcastable_dims_broadcast(spark):
+    """Small dimension joins (nation polygons) use broadcast hash join."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    q = run_query(spark, "/root/testdata/sf0.001",
+                  CATALOG["point_in_polygon"])
+    plan = plan_text(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_geojson_sink_roundtrip(spark, tmp_path):
+    from cqi_engine.sources.geojson_sink import (collect_feature_collection,
+                                                 write_geojsonl)
+
+    df = spark.createDataFrame(
+        [("w1", 57, [[13.0, 52.0], [13.1, 52.1]])],
+        ["id", "index", "geom_lonlat"])
+    fc = collect_feature_collection(df)
+    assert fc["features"][0]["properties"]["index"] == 57
+    assert fc["features"][0]["geometry"]["coordinates"][0] == [13.0, 52.0]
+
+    out = str(tmp_path / "gj")
+    write_geojsonl(df, out)
+    lines = spark.read.text(out).collect()
+    assert len(lines) == 1 and '"type":"Feature"' in lines[0]["value"]
