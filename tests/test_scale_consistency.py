@@ -1,0 +1,53 @@
+"""SURVEY §5.5: the same job at two parallelism levels must produce
+identical output (order-insensitive) — the determinism half of the
+two-cluster-size criterion (throughput half lives in scripts/scaling_bench).
+
+Each run executes in its own subprocess: inside one JVM,
+``getOrCreate`` would silently reuse the first session's master.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+_RUNNER = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from cqi_engine.session import build_session, ship_package
+from cqi_engine.sources.webways import ways_from_documents
+from cqi_engine.operators.pipeline import score_way_table
+
+master, out = sys.argv[1], sys.argv[2]
+spark = build_session("consistency", master=master, shuffle_partitions=7)
+spark.sparkContext.setLogLevel("ERROR")
+ship_package(spark)
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+df = score_way_table(ways_from_documents(docs))
+rows = {}
+for r in df.collect():
+    d = r.asDict()
+    rows["%s|%s" % (d["id"], d.get("side"))] = sorted(
+        (k, str(v)) for k, v in d.items())
+with open(out, "w") as fh:
+    json.dump(rows, fh, sort_keys=True)
+spark.stop()
+"""
+
+
+def _scored_rows(master: str, out_path: str) -> dict:
+    subprocess.run([sys.executable, "-c", _RUNNER, master, out_path],
+                   check=True, timeout=600,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def test_output_identical_across_parallelism(tmp_path):
+    a = _scored_rows("local[2]", str(tmp_path / "a.json"))
+    b = _scored_rows("local[8]", str(tmp_path / "b.json"))
+    assert len(a) == len(b) > 0
+    assert set(a) == set(b)
+    diff = [k for k in a if a[k] != b[k]]
+    assert not diff, f"{len(diff)} rows differ across parallelism: {diff[:5]}"
