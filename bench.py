@@ -55,9 +55,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 
-    # warm the JVM/Arrow path once so per-query numbers measure the engine,
-    # not first-call JIT + codegen compilation.
+    # warm the JVM/Arrow path AND the Python UDF workers once so per-query
+    # numbers measure the engine, not first-call JIT/codegen or the ~2-4 s
+    # one-time worker spawn+import (32 workers x pandas import).
     run_query(spark, sf_dir, CATALOG["cell_agg"]).count()
+    from cqi_engine.sources.webways import ways_from_documents
+    from cqi_engine.operators.pipeline import score_way_table
+    warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(256) \
+        .repartition(cpus)
+    score_way_table(ways_from_documents(warm_docs)).count()
 
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}

@@ -898,3 +898,31 @@ def _ann_topk_blocked_fn(spark, sf_dir: str):
 _reg(Query("ann_topk_blocked", ("embeddings",), fn=_ann_topk_blocked_fn,
            doc="Scale-path ANN: numpy-blocked matmul inside mapInPandas; "
                "pytest asserts agreement with the ann_topk oracle query"))
+
+
+def _tile_pyramid(d: str) -> str:
+    # raster pyramid rollup: fine 2 km cells -> coarse 8 km tiles (4x4),
+    # the aggregation cascade a tile server runs per zoom level.
+    cx, cy = CUST_PT
+    fx = idiv(cx, CELL_M, d)
+    fy = idiv(cy, CELL_M, d)
+    coarse = f"({idiv(fx, 4, d)} * 100 + {idiv(fy, 4, d)})"
+    fine = f"({fx} * 100 + {fy})"
+    return f"""
+select coarse_cell,
+       cast(count(*) as bigint) as n_fine_cells,
+       cast(sum(n_points) as bigint) as n_points,
+       cast(round(sum(sum_acctbal), 2) as double) as sum_acctbal
+from (
+  select cast({coarse} as bigint) as coarse_cell,
+         cast({fine} as bigint) as fine_cell,
+         count(*) as n_points,
+         sum(c_acctbal) as sum_acctbal
+  from customer
+  group by {coarse}, {fine}
+) t group by coarse_cell
+"""
+
+
+_sql_pair("tile_pyramid", ("customer",), _tile_pyramid,
+          "Two-level raster tile pyramid rollup (fine cells -> coarse tiles)")

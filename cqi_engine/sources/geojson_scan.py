@@ -1,0 +1,57 @@
+"""Distributed GeoJSON scan (S1 of SURVEY §2.1 at scale).
+
+The reference loads one FeatureCollection file through OGR with a
+LineString geometry-type filter (ref:cycling_quality_index.py:1452).  At
+web scale the engine reads newline-delimited GeoJSON (GeoJSONL — one
+Feature per line, the format our sink writes) with ``spark.read.text`` +
+``from_json``: fully parallel, no driver-side JSON, filters/pruning pushed
+to the text scan.  Classic FeatureCollection files are supported through a
+small normalizer that splits them into lines first (driver-side, only for
+legacy small files).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FEATURE_SCHEMA = T.StructType([
+    T.StructField("type", T.StringType()),
+    T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("geometry", T.StructType([
+        T.StructField("type", T.StringType()),
+        T.StructField("coordinates",
+                      T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])),
+])
+
+
+def read_geojsonl(spark: SparkSession, path: str,
+                  tag_columns: list[str]) -> DataFrame:
+    """GeoJSONL -> way table (LineStrings only), distributed.
+
+    Properties land in a MapType and are projected to typed columns, so
+    adding a tag later is a column-pruned map lookup, not a schema change.
+    """
+    raw = spark.read.text(path)
+    feats = raw.select(
+        F.from_json(F.col("value"), _FEATURE_SCHEMA).alias("f"))
+    lines = feats.filter(F.col("f.geometry.type") == "LineString")
+    cols = [F.col("f.properties").getItem(c).alias(c) for c in tag_columns]
+    return lines.select(*cols,
+                        F.col("f.geometry.coordinates").alias("geom_lonlat"))
+
+
+def featurecollection_to_lines(src_path: str, dst_path: str) -> int:
+    """Legacy FeatureCollection file -> GeoJSONL (driver-side, small files)."""
+    with open(src_path, encoding="utf-8") as fh:
+        fc = json.load(fh)
+    n = 0
+    with open(dst_path, "w", encoding="utf-8") as out:
+        for feat in fc.get("features", []):
+            out.write(json.dumps(feat, ensure_ascii=False) + "\n")
+            n += 1
+    return n

@@ -136,3 +136,84 @@ def test_checkpoint_resume(spark, tmp_path):
     assert vals == sorted(list(range(10)) + list(range(100, 110))
                           + list(range(200, 210)))
     assert set(completed_partitions(out)) == {"0", "1", "2"}
+
+
+# ------------------------------------------------------ stateful stream ----
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization over a replayed events stream:
+    closed sessions must match the batch sessionizer's session count."""
+    import pyspark.sql.functions as SF
+    from cqi_engine.streaming.stateful import sessionize_stream
+
+    src = str(tmp_path / "events_in")
+    # replay in event-time order: each chunk covers a disjoint ascending
+    # time range (random file order would put events under the watermark
+    # of an earlier batch and they would be legitimately dropped)
+    ev0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ordered = ev0.orderBy("ts").withColumn(
+        "chunk", SF.ntile(4).over(
+            __import__("pyspark").sql.window.Window.orderBy("ts")))
+    for c in (1, 2, 3, 4):
+        (ordered.filter(SF.col("chunk") == c).drop("chunk")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream
+              .schema(ev0.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream).writeStream
+         .outputMode("append").format("memory").queryName("sessions")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = spark.sql(
+        "select user_id, count(*) as closed from sessions group by user_id")
+    closed_counts = {r["user_id"]: r["closed"] for r in got.collect()}
+
+    # batch truth (exact): non-final sessions always close on the gap;
+    # the FINAL session of each user closes by event-time timeout iff its
+    # timeout (last_ms + gap) precedes the final watermark (global max ts
+    # minus the 2 h watermark delay).
+    import pandas as pd
+    ev = spark.read.parquet(src).select(
+        "user_id", SF.unix_millis(SF.col("ts").cast("timestamp")).alias("ms")
+    ).toPandas()
+    gap = 30 * 60 * 1000
+    wm_final = ev["ms"].max() - 2 * 3600 * 1000
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        ms = sorted(grp["ms"])
+        n_sessions, last = 1, ms[0]
+        for m in ms[1:]:
+            if m - last > gap:
+                n_sessions += 1
+            last = m
+        closed = n_sessions - 1
+        if last + gap < wm_final:
+            closed += 1
+        if closed:
+            want[uid] = closed
+
+    assert closed_counts == want
+
+
+# -------------------------------------------------------- geojson scan ----
+def test_distributed_geojson_scan(spark, tmp_path):
+    """S1 at scale: GeoJSONL -> way table, parity with the driver-side
+    reader on the reference fixture corpus."""
+    from cqi_engine.io import read_geojson_lines
+    from cqi_engine.sources.geojson_scan import (featurecollection_to_lines,
+                                                 read_geojsonl)
+
+    src = "/root/reference/data/test_ways/test_ways.geojson"
+    lines_path = str(tmp_path / "ways.geojsonl")
+    n = featurecollection_to_lines(src, lines_path)
+    assert n >= 138
+
+    df = read_geojsonl(spark, lines_path, ["id", "highway", "name"])
+    rows = {r["id"]: r for r in df.collect()}
+    ref = read_geojson_lines(src)  # LineStrings only
+    assert len(rows) == len(ref)
+    for _, want in ref.iterrows():
+        got = rows[want["id"]]
+        assert got["highway"] == want.get("highway")
+        assert len(got["geom_lonlat"]) == len(want["geom_lonlat"])
