@@ -129,7 +129,8 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
                         "geom_lonlat").mapInPandas(gen, _ROAD_CELLS_SCHEMA)
 
 
-def dwithin_pairs(points: DataFrame, road_cells: DataFrame) -> DataFrame:
+def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
+                  salt_threshold: float | None = None) -> DataFrame:
     """J4: hash join on cell + null-safe layer guard + exact distance refine.
 
     SHUFFLE_HASH hint: Catalyst has no size estimate for mapInPandas output
@@ -137,14 +138,29 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame) -> DataFrame:
     serial collect of every road geometry (measured ~25 s at 250k pages
     locally; unbounded at web scale).  Partition-by-cell hash join is the
     correct physical plan at every scale; AQE still handles skewed cells.
+
+    ``salt_threshold`` switches on the explicit histogram-driven salting of
+    operators/skew.py (cells loaded > threshold x mean are split k ways) —
+    the north_rule's explicit skew mechanism for dense-city cells, with AQE
+    as the backstop when left off.
     """
-    joined = points.join(
-        road_cells.hint("shuffle_hash"),
-        on=[points["cell"] == road_cells["cell"],
-            points["layer"].eqNullSafe(road_cells["road_layer"])],
-        how="inner",
-    ).select("way_id", "pt_seq", "x", "y", "road_id", "road_highway",
-             "road_name", "road_maxspeed", "road_geom")
+    if salt_threshold is not None:
+        from .skew import salted_join
+        joined = salted_join(
+            points, road_cells,
+            on_extra=[lambda p, ix:
+                      p["layer"].eqNullSafe(ix["road_layer"])],
+            threshold=salt_threshold,
+        ).select("way_id", "pt_seq", "x", "y", "road_id", "road_highway",
+                 "road_name", "road_maxspeed", "road_geom")
+    else:
+        joined = points.join(
+            road_cells.hint("shuffle_hash"),
+            on=[points["cell"] == road_cells["cell"],
+                points["layer"].eqNullSafe(road_cells["road_layer"])],
+            how="inner",
+        ).select("way_id", "pt_seq", "x", "y", "road_id", "road_highway",
+                 "road_name", "road_maxspeed", "road_geom")
 
     schema = T.StructType([
         T.StructField("way_id", T.StringType()),
@@ -352,7 +368,8 @@ def score_pages(pages: DataFrame,
     return score_way_table(ways)
 
 
-def score_way_table(ways: DataFrame) -> DataFrame:
+def score_way_table(ways: DataFrame,
+                    salt_threshold: float | None = None) -> DataFrame:
     """Persist posture: `ways` feeds three consumers (paths, roads, final
     writeback join) and `points`/`pairs` feed the multi-family aggregation —
     without persist the whole upstream (page synthesis -> extraction) would
@@ -364,7 +381,7 @@ def score_way_table(ways: DataFrame) -> DataFrame:
                         | F.col("highway").isNull())
     points = sample_points(paths).persist()
     rcells = road_cell_index(roads)
-    pairs = dwithin_pairs(points, rcells).persist()
+    pairs = dwithin_pairs(points, rcells, salt_threshold).persist()
     agg = sidepath_aggregates(points, pairs)
     enriched = apply_sidepath_spark(ways, agg)
     return score_batches(enriched)

@@ -217,3 +217,23 @@ def test_distributed_geojson_scan(spark, tmp_path):
         got = rows[want["id"]]
         assert got["highway"] == want.get("highway")
         assert len(got["geom_lonlat"]) == len(want["geom_lonlat"])
+
+
+# ------------------------------------------------- salted full pipeline ----
+def test_salted_pipeline_identical_output(spark):
+    """Flagship with explicit cell salting on == salting off, row for row."""
+    from cqi_engine.sources.webways import ways_from_documents
+    from cqi_engine.operators.pipeline import score_way_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def keyed(df):
+        return {(r["id"], r["side"]): tuple(
+            sorted((k, str(v)) for k, v in r.asDict().items()))
+            for r in df.collect()}
+
+    plain = keyed(score_way_table(ways_from_documents(docs)))
+    # threshold 0.5: deliberately aggressive so MANY cells get salted
+    salted = keyed(score_way_table(ways_from_documents(docs),
+                                   salt_threshold=0.5))
+    assert plain == salted
