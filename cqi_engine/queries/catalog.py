@@ -926,3 +926,36 @@ from (
 
 _sql_pair("tile_pyramid", ("customer",), _tile_pyramid,
           "Two-level raster tile pyramid rollup (fine cells -> coarse tiles)")
+
+
+def _media_decode_sql(d: str) -> str:
+    # the deterministic stub decode of operators/media.py, expressed as
+    # hash arithmetic both engines can run: byte k of sha256(payload)
+    # drives each fake media attribute.  DuckDB's sha256(varchar) hashes
+    # the UTF-8 bytes — identical to Spark's sha2(cast(text as binary)).
+    h = ("sha2(cast(text as binary), 256)" if d == SPARK
+         else "sha256(text)")
+    pos = "instr" if d == SPARK else "strpos"
+
+    def byte(k: int) -> str:
+        hi = f"{pos}('0123456789abcdef', substr(h, {2 * k + 1}, 1)) - 1"
+        lo = f"{pos}('0123456789abcdef', substr(h, {2 * k + 2}, 1)) - 1"
+        return f"(({hi}) * 16 + ({lo}))"
+    mt = (f"{D.at(D.str_arr_lit(['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'], d), f'({byte(0)}) % 4 + 1', d)}")
+    blob = ("cast(text as binary)" if d == SPARK else "encode(text)")
+    return f"""
+select doc_id,
+       cast(octet_length({blob}) as bigint) as n_bytes,
+       {mt} as media_type,
+       cast(64 + (({byte(1)}) % 64) * 16 as bigint) as width,
+       cast(64 + (({byte(2)}) % 64) * 16 as bigint) as height,
+       cast(1 + ({byte(3)}) % 240 as bigint) as n_frames,
+       cast(round(({byte(4)}) / 255.0, 6) as double) as feature_0,
+       cast(round(({byte(5)}) / 255.0, 6) as double) as feature_1
+from (select doc_id, text, {h} as h from documents) t
+"""
+
+
+_sql_pair("media_decode_sql", ("documents",), _media_decode_sql,
+          "Stub media decode re-expressed as sha256-hash arithmetic - the "
+          "oracle-checked twin of the mapInPandas media_decode pipeline")

@@ -237,3 +237,26 @@ def test_salted_pipeline_identical_output(spark):
     salted = keyed(score_way_table(ways_from_documents(docs),
                                    salt_threshold=0.5))
     assert plain == salted
+
+
+# ---------------------------------------------------- media decode twin ----
+def test_media_decode_python_matches_sql_twin(spark):
+    """The mapInPandas stub decode and the SQL hash-arithmetic twin must
+    agree attribute for attribute (same sha256-derived values)."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    py = {r["doc_id"]: r for r in
+          run_query(spark, "/root/testdata/sf0.001",
+                    CATALOG["media_decode"]).collect()}
+    sql = {r["doc_id"]: r for r in
+           run_query(spark, "/root/testdata/sf0.001",
+                     CATALOG["media_decode_sql"]).collect()}
+    assert set(py) == set(sql)
+    for doc_id, a in py.items():
+        b = sql[doc_id]
+        assert a["n_bytes"] == b["n_bytes"]
+        assert a["media_type"] == b["media_type"]
+        assert (a["width"], a["height"], a["n_frames"]) == \
+            (b["width"], b["height"], b["n_frames"])
+        assert round(a["feature"][0], 6) == b["feature_0"]
+        assert round(a["feature"][1], 6) == b["feature_1"]
