@@ -599,8 +599,53 @@ where {jac} >= 0.9
 """
 
 
-_sql_pair("dedup_minhash_lsh", ("documents",), _dedup_minhash_lsh,
-          "MinHash+LSH banded near-dup join with exact-Jaccard verify")
+def _minhash_spark_staged() -> str:
+    """Spark-side plan: tokenize/hash ONCE per doc in a CTE, then derive
+    the 16 minhashes and 4 band keys from the materialized hash array —
+    the naive dual-dialect template re-tokenizes per permutation and per
+    band (16x the string work).  The DuckDB oracle keeps the naive form;
+    the arithmetic is identical so results match exactly."""
+    d = SPARK
+    ths = D.token_hashes("text", d)
+    m = D.MINHASH_PRIME
+    sig_cols = ", ".join(
+        f"array_min(transform(ths, h -> ({a}L * h + {b}L) % {m}L)) as s{j}"
+        for j, (a, b) in enumerate(D.MINHASH_PERMS))
+    rows = len(D.MINHASH_PERMS) // D.LSH_BANDS
+    mixm = (1 << 31) - 1
+    band_selects = []
+    for band in range(D.LSH_BANDS):
+        expr = "0"
+        for r in range(rows):
+            expr = f"((({expr}) * 1000003L + s{band * rows + r}) % {mixm}L)"
+        band_selects.append(
+            f"select doc_id, {band} as band_idx, cast({expr} as bigint) as band_key from sigs")
+    bands = " union all ".join(band_selects)
+    jac = _jaccard_expr(d, "da.text", "db.text")
+    return f"""
+with th as (select doc_id, text, {ths} as ths from documents where doc_id < 100),
+sigs as (select doc_id, {sig_cols} from th),
+bands as ({bands}),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_idx = b.band_idx and a.band_key = b.band_key
+   and a.doc_id < b.doc_id
+)
+select c.doc_a, c.doc_b,
+       cast(round({jac}, 6) as double) as jaccard
+from cand c
+join documents da on da.doc_id = c.doc_a
+join documents db on db.doc_id = c.doc_b
+where {jac} >= 0.9
+"""
+
+
+_reg(Query("dedup_minhash_lsh", ("documents",),
+           spark_sql=_minhash_spark_staged(),
+           duck_sql=_dedup_minhash_lsh(DUCK),
+           doc="MinHash+LSH banded near-dup join with exact-Jaccard verify "
+               "(staged single-tokenization plan on the Spark side)"))
 
 
 def _dedup_simhash(d: str) -> str:
@@ -959,3 +1004,43 @@ from (select doc_id, text, {h} as h from documents) t
 _sql_pair("media_decode_sql", ("documents",), _media_decode_sql,
           "Stub media decode re-expressed as sha256-hash arithmetic - the "
           "oracle-checked twin of the mapInPandas media_decode pipeline")
+
+
+def _ann_ivf_topk(d: str) -> str:
+    # IVF-style ANN: 8 coarse "centroids" (the first 8 vectors), every
+    # vector assigned to its nearest centroid (exact integer-free cosine
+    # argmax), then top-3 search restricted to the query's own cell — the
+    # inverted-file scale path (probe 1 list instead of the whole corpus).
+    cos = (f"({_dot64(d, 'e.embedding', 'c.embedding')} / "
+           f"({_norm(d, 'e.embedding')} * {_norm(d, 'c.embedding')}))")
+    qcos = (f"({_dot64(d, 'q.embedding', 'x.embedding')} / "
+            f"({_norm(d, 'q.embedding')} * {_norm(d, 'x.embedding')}))")
+    return f"""
+with assign as (
+  select e_vec_id as vec_id, centroid
+  from (
+    select e.vec_id as e_vec_id, c.vec_id as centroid,
+           row_number() over (partition by e.vec_id
+                              order by round({cos}, 6) desc, c.vec_id asc) as rn
+    from embeddings e cross join embeddings c
+    where c.vec_id < 8
+  ) t where rn = 1
+)
+select query_id, cand_id, cosine, cast(rn as bigint) as rank
+from (
+  select q.vec_id as query_id, x.vec_id as cand_id,
+         cast(round({qcos}, 6) as double) as cosine,
+         row_number() over (partition by q.vec_id
+                            order by round({qcos}, 6) desc, x.vec_id asc) as rn
+  from embeddings q
+  join assign aq on aq.vec_id = q.vec_id
+  join assign ax on ax.centroid = aq.centroid and ax.vec_id <> q.vec_id
+  join embeddings x on x.vec_id = ax.vec_id
+  where q.vec_id < 24
+) t where rn <= 3
+"""
+
+
+_sql_pair("ann_ivf_topk", ("embeddings",), _ann_ivf_topk,
+          "IVF-bucketed ANN: coarse-centroid assignment + in-list top-k "
+          "(probe one inverted list, not the corpus)")
