@@ -85,6 +85,15 @@ def main() -> None:
         "pages_per_sec": round(n_pages / cqi_sec, 1) if cqi_sec else None,
         "way_scores_per_sec": (round(row_counts["cqi_score_ways"] / cqi_sec, 1)
                                if cqi_sec else None),
+        # recorded evidence from scripts/scaling_bench.py (see BASELINE.md
+        # for the full run table + variance/protocol disclosure)
+        "scaling_evidence": {
+            "pair": "local[1] vs local[4], 500k pages, same input",
+            "t_n_s": 227.2, "t_4n_s": 55.4,
+            "efficiency_min_based": 1.02,
+            "efficiency_mean_of_pairs": 0.95,
+            "source": "BASELINE.md / scripts/scaling_bench.py",
+        },
     }
     print(json.dumps(out))
     spark.stop()

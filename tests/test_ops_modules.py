@@ -260,3 +260,31 @@ def test_media_decode_python_matches_sql_twin(spark):
             (b["width"], b["height"], b["n_frames"])
         assert round(a["feature"][0], 6) == b["feature_0"]
         assert round(a["feature"][1], 6) == b["feature_1"]
+
+
+# ------------------------------------------------------- cell hierarchy ----
+def test_cell_hierarchy_roundtrip():
+    from cqi_engine.operators import cells
+
+    for x, y in [(0.5, 0.5), (12345.6, 98765.4), (-500.0, 33.3)]:
+        c = int(cells.cell_id_np(np.array([x]), np.array([y]))[0])
+        res, ix, iy = cells.decode_cell(c)
+        assert res == cells.JOIN_RES
+        s = cells.cell_size(res)
+        assert ix * s <= x < (ix + 1) * s
+        assert iy * s <= y < (iy + 1) * s
+        # parent contains the child
+        p = cells.parent_cell(c, cells.AGG_RES)
+        pres, pix, piy = cells.decode_cell(p)
+        ps = cells.cell_size(pres)
+        assert pix * ps <= x < (pix + 1) * ps
+        # numpy batch variant agrees
+        assert int(cells.parent_cell_np(np.array([c]),
+                                        cells.AGG_RES)[0]) == p
+        # the cell is inside its own grid_disk, with (2k+1)^2 members
+        disk = cells.grid_disk(c, 2)
+        assert c in disk and len(disk) == 25
+        # boundary ring is closed and encloses the point
+        ring = cells.cell_boundary_metric(c)
+        assert (ring[0] == ring[-1]).all()
+        assert ring[:, 0].min() <= x <= ring[:, 0].max()
