@@ -76,29 +76,24 @@ def _post_sidepath_stages(df: pd.DataFrame,
 
     scored = rules.score(df)
 
-    # data_missing assembly (append order mirrors the reference call order)
-    missing_lists = []
-    for i in range(len(scored)):
-        entries = []
-        if miss_w["width:lanes"].iat[i]:
-            entries.append("width:lanes")
-        if miss_w["width"].iat[i]:
-            entries.append("width")
-        if miss_w["width2"].iat[i]:
-            entries.append("width")
-        if miss_w["parking"].iat[i]:
-            entries.append("parking")
-        if miss_surface.iat[i]:
-            entries.append("surface")
-        if miss_smoothness.iat[i]:
-            entries.append("smoothness")
-        if scored["_miss_crossing"].iat[i]:
-            entries.append("crossing")
-        if scored["_miss_markings"].iat[i]:
-            entries.append("crossing_markings")
-        if scored["_miss_lit"].iat[i]:
-            entries.append("lit")
-        missing_lists.append(entries)
+    # data_missing assembly (append order mirrors the reference call order);
+    # vectorized: per-row .iat indexing was ~15% of the whole kernel
+    flag_cols = [
+        (miss_w["width:lanes"], "width:lanes"),
+        (miss_w["width"], "width"),
+        (miss_w["width2"], "width"),
+        (miss_w["parking"], "parking"),
+        (miss_surface, "surface"),
+        (miss_smoothness, "smoothness"),
+        (scored["_miss_crossing"], "crossing"),
+        (scored["_miss_markings"], "crossing_markings"),
+        (scored["_miss_lit"], "lit"),
+    ]
+    names = [n for _s, n in flag_cols]
+    arrs = [np.asarray(s, dtype=bool) for s, _n in flag_cols]
+    missing_lists = [
+        [n for hit, n in zip(row, names) if hit] for row in zip(*arrs)
+    ]
     scored["data_missing"] = [";".join(e) for e in missing_lists]
     scored["data_incompleteness"] = [
         float(sum(C.DATA_INCOMPLETENESS_WEIGHT.get(e, 0) for e in entries))

@@ -31,16 +31,28 @@ def obj(s: pd.Series) -> pd.Series:
     return s.astype(object).where(pd.notna(s), None)
 
 
+# single-pass object-dtype falsiness (None / NaN / '' / 0 / False): the
+# multi-comparison pandas formulation costs 4-5 full passes per call and
+# falsy() runs hundreds of times per Arrow batch.
+_FALSY_UFUNC = np.frompyfunc(
+    lambda v: v is None or v == "" or v == 0
+    or (isinstance(v, float) and v != v), 1, 1)
+_NAN_UFUNC = np.frompyfunc(
+    lambda v: isinstance(v, float) and v != v, 1, 1)
+
+
+def _falsy_np(arr: np.ndarray) -> np.ndarray:
+    return _FALSY_UFUNC(arr).astype(bool)
+
+
 def falsy(s: pd.Series) -> pd.Series:
     """QGIS-style truthiness: NULL, '' and 0 are all falsy.
 
     ref: pervasive ``if not attribute`` checks in cycling_quality_index.py.
     """
-    out = s.isna()
     if s.dtype == object:
-        out = out | (s == "") | (s == 0)
-    else:
-        out = out | (s == 0)
+        return pd.Series(_falsy_np(s.to_numpy(dtype=object)), index=s.index)
+    out = s.isna() | (s == 0)
     return out.fillna(True).astype(bool)
 
 
@@ -60,11 +72,19 @@ def get_number(s: pd.Series) -> pd.Series:
 
 def first_nonfalsy(*series: pd.Series) -> pd.Series:
     """Left-to-right coalesce under QGIS truthiness ('' counts as missing)."""
-    out = series[0].copy().astype(object)
+    index = series[0].index
+    out = series[0].to_numpy(dtype=object).copy()
+    mask = _falsy_np(out)
     for nxt in series[1:]:
-        mask = falsy(out)
-        out[mask] = nxt[mask]
-    return out.where(pd.notna(out), None)
+        if not mask.any():
+            break
+        nxt_arr = nxt.to_numpy(dtype=object)
+        np.copyto(out, nxt_arr, where=mask)
+        mask &= _falsy_np(nxt_arr)
+    # normalize NaN -> None (callers rely on None for missing)
+    nanmask = _NAN_UFUNC(out).astype(bool)
+    out[nanmask] = None
+    return pd.Series(out, index=index)
 
 
 def split_both_to_sides(both: pd.Series, left: pd.Series, right: pd.Series):
