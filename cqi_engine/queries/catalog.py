@@ -1044,3 +1044,43 @@ from (
 _sql_pair("ann_ivf_topk", ("embeddings",), _ann_ivf_topk,
           "IVF-bucketed ANN: coarse-centroid assignment + in-list top-k "
           "(probe one inverted list, not the corpus)")
+
+
+def _components_fn(spark, sf_dir: str):
+    # Spark side: LSH candidate pairs -> iterative label propagation
+    # (operators/components.py; pointer-jumped min-label, localCheckpoint
+    # per round).  The DuckDB oracle computes the same components with a
+    # recursive-CTE transitive closure — tractable at oracle scale only.
+    from pyspark.sql import functions as F
+
+    from ..operators.components import connected_components
+    pairs = spark.sql(CATALOG["dedup_minhash_lsh"].spark_sql) \
+        .select("doc_a", "doc_b")
+    return (connected_components(pairs, "doc_a", "doc_b")
+            .select(F.col("node").cast("long").alias("node"),
+                    F.col("component").cast("long").alias("component")))
+
+
+def _components_duck() -> str:
+    pairs = _dedup_minhash_lsh(DUCK)
+    return f"""
+with recursive pairs as ({pairs.strip().rstrip(';')}),
+edges2 as (
+  select doc_a as a, doc_b as b from pairs
+  union
+  select doc_b as a, doc_a as b from pairs
+),
+reach(n, m) as (
+  select a, a from (select a from edges2 union select b from edges2) t
+  union
+  select r.n, e.b from reach r join edges2 e on e.a = r.m
+)
+select cast(n as bigint) as node, cast(min(m) as bigint) as component
+from reach group by n
+"""
+
+
+_reg(Query("dedup_components", ("documents",), fn=_components_fn,
+           duck_sql=_components_duck(),
+           doc="Near-dup clustering: iterative connected components over "
+               "the LSH pair graph vs a recursive-CTE closure oracle"))

@@ -288,3 +288,60 @@ def test_cell_hierarchy_roundtrip():
         ring = cells.cell_boundary_metric(c)
         assert (ring[0] == ring[-1]).all()
         assert ring[:, 0].min() <= x <= ring[:, 0].max()
+
+
+# ------------------------------------------------- connected components ----
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress to canonical minimum
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from cqi_engine.operators.components import connected_components
+
+    import random
+    rng = random.Random(7)
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    want = _union_find(pairs)
+    # canonical labels must be the component-minimum node everywhere
+    assert got == {n: want[n] for n in got}
+
+
+def test_dedup_canonical_on_near_dup_graph(spark):
+    """End-to-end: minhash candidate pairs -> components -> canonical keep
+    set; every component keeps exactly one canonical doc."""
+    from cqi_engine.operators.components import dedup_canonical
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    pairs = run_query(spark, "/root/testdata/sf0.01",
+                      CATALOG["dedup_minhash_lsh"]).select("doc_a", "doc_b")
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = dedup_canonical(pairs, docs).persist()
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    per_comp = (out.groupBy("component")
+                .agg(F.sum("is_canonical").alias("n_canon")))
+    bad = per_comp.filter(F.col("n_canon") != 1).count()
+    assert bad == 0
+    # kept set: canonical rows only; every duplicate maps to a kept doc
+    kept = {r["doc_id"] for r in
+            out.filter(F.col("is_canonical") == 1).collect()}
+    comp_of = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert all(comp_of[d] in kept for d in comp_of)
