@@ -345,3 +345,30 @@ def test_dedup_canonical_on_near_dup_graph(spark):
             out.filter(F.col("is_canonical") == 1).collect()}
     comp_of = {r["doc_id"]: r["component"] for r in out.collect()}
     assert all(comp_of[d] in kept for d in comp_of)
+
+
+# ----------------------------------------------------------- warc source ----
+def test_warc_roundtrip_and_score(spark, tmp_path):
+    """pages -> WARC file -> distributed scan -> pages: byte-identical
+    text per url, and the scanned pages score to the golden 164 rows."""
+    from cqi_engine.io import read_geojson_lines
+    from cqi_engine.operators.pipeline import score_pages
+    from cqi_engine.sources.pages import synthesize_pages_pdf
+    from cqi_engine.sources.warc import read_warc, write_warc
+
+    ways = read_geojson_lines(
+        "/root/reference/data/test_ways/test_ways.geojson").drop(
+        columns=["geom_metric"])
+    pdf = synthesize_pages_pdf(ways)
+    path = str(tmp_path / "crawl.warc")
+    assert write_warc(pdf, path) == 138
+
+    pages = read_warc(spark, path)
+    got = {r["url"]: r for r in pages.collect()}
+    assert len(got) == 138
+    for _, row in pdf.iterrows():
+        r = got[row["url"]]
+        assert r["text"].encode("utf-8") == row["text"].encode("utf-8")
+        assert r["lang"] == row["lang"]
+
+    assert score_pages(pages).count() == 164

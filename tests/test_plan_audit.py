@@ -76,3 +76,33 @@ def test_geojson_sink_roundtrip(spark, tmp_path):
     write_geojsonl(df, out)
     lines = spark.read.text(out).collect()
     assert len(lines) == 1 and '"type":"Feature"' in lines[0]["value"]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join without a shuffle (SURVEY §4 co-location)."""
+    from cqi_engine.ops.bucketing import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .withColumnRenamed("vec_id", "doc_id")
+    write_bucketed(docs, "b_docs", "doc_id", 8, path=str(tmp_path / "d"))
+    write_bucketed(emb, "b_emb", "doc_id", 8, path=str(tmp_path / "e"))
+
+    # force the sort-merge path (tiny test tables would broadcast, which
+    # hides the property under test: bucketing removes the SHUFFLE)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_docs", "b_emb", "doc_id")
+        plan = plan_text(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == emb.count()
+
+        # control: the same join on unbucketed frames DOES shuffle
+        plain = docs.join(emb, "doc_id")
+        assert "Exchange" in plan_text(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
