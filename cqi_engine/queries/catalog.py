@@ -1084,3 +1084,38 @@ _reg(Query("dedup_components", ("documents",), fn=_components_fn,
            duck_sql=_components_duck(),
            doc="Near-dup clustering: iterative connected components over "
                "the LSH pair graph vs a recursive-CTE closure oracle"))
+
+
+def _pricing_rollup(d: str) -> str:
+    # ROLLUP + grouping(): subtotal/total rows in one aggregation pass
+    return f"""
+select l_returnflag, l_linestatus,
+       cast(grouping(l_returnflag) as int) as g_flag,
+       cast(grouping(l_linestatus) as int) as g_status,
+       cast(count(*) as bigint) as n,
+       cast(round(sum(l_extendedprice), 2) as double) as sum_price
+from lineitem
+group by rollup(l_returnflag, l_linestatus)
+"""
+
+
+_sql_pair("pricing_rollup", ("lineitem",), _pricing_rollup,
+          "ROLLUP subtotal hierarchy with grouping() markers")
+
+
+def _events_percentiles(d: str) -> str:
+    # exact continuous percentiles (Spark percentile == DuckDB
+    # quantile_cont, verified bit-exact)
+    fn = "percentile" if d == SPARK else "quantile_cont"
+    return f"""
+select event_type,
+       cast({fn}(value, 0.5) as double) as p50,
+       cast({fn}(value, 0.9) as double) as p90,
+       cast({fn}(value, 0.99) as double) as p99,
+       cast(count(*) as bigint) as n
+from events group by event_type
+"""
+
+
+_sql_pair("events_percentiles", ("events",), _events_percentiles,
+          "Exact continuous percentiles per group (distribution profiling)")
