@@ -1119,3 +1119,81 @@ from events group by event_type
 
 _sql_pair("events_percentiles", ("events",), _events_percentiles,
           "Exact continuous percentiles per group (distribution profiling)")
+
+
+def _way_type_synth(d: str) -> str:
+    """Deterministic way_type values from part keys (all 16 classes)."""
+    from .. import config as C
+    types = sorted(C.BASE_INDEX)
+    return D.at(D.str_arr_lit(types, d), f"(p_partkey % {len(types)}) + 1", d)
+
+
+def _rule_base_index(d: str) -> str:
+    # R9 base index lookup (ref:cycling_quality_index.py:1210-1218,
+    # table parameter.py:215-232) as a columnar CASE WHEN rule table
+    from .. import config as C
+    wt = _way_type_synth(d)
+    case = ("case " + " ".join(
+        f"when way_type = '{k}' then {v}"
+        for k, v in sorted(C.BASE_INDEX.items())) + " end")
+    return f"""
+select p_partkey, way_type, cast({case} as bigint) as base_index
+from (select p_partkey, {wt} as way_type from part) t
+"""
+
+
+_sql_pair("rule_base_index", ("part",), _rule_base_index,
+          "R9 base-index rule table as columnar CASE WHEN")
+
+
+def _rule_maxspeed_factor(d: str) -> str:
+    # R13 threshold-scan maxspeed factor (ref:cycling_quality_index.py:
+    # 1279-1286, dict parameter.py:162-169): reverse-sorted >= scan ==
+    # descending CASE WHEN chain.
+    from .. import config as C
+    ms = "(10 * (p_partkey % 16))"
+    chain = " ".join(
+        f"when {ms} >= {k} then cast({v} as double)"
+        for k, v in sorted(C.MAXSPEED_FACTOR.items(), reverse=True))
+    return f"""
+select p_partkey, cast({ms} as bigint) as maxspeed,
+       cast(case {chain} else 1.05 end as double) as fac_maxspeed
+from part
+"""
+
+
+_sql_pair("rule_maxspeed_factor", ("part",), _rule_maxspeed_factor,
+          "R13 maxspeed threshold scan as a descending CASE chain")
+
+
+def _rule_lts(d: str) -> str:
+    # R17-shaped Level of Traffic Stress decision tree over synthesized
+    # (way_type, maxspeed, width) — the engine's columnar expression of a
+    # nested rule tree (ref:cycling_quality_index.py:1393-1434 shape).
+    wt = _way_type_synth(d)
+    ms = "(10 * (p_partkey % 16))"
+    width = "(2.0 + (p_partkey % 9) * 0.5)"
+    sep = ("('cycle path','cycle track','shared path','segregated path',"
+           "'shared footway')")
+    lanes = ("('cycle lane (advisory)','cycle lane (exclusive)',"
+             "'cycle lane (protected)','cycle lane (central)')")
+    return f"""
+select p_partkey, way_type, cast(maxspeed as bigint) as maxspeed,
+       cast(width as double) as width,
+       cast(case
+         when way_type in {sep} then 1
+         when way_type in {lanes} and maxspeed <= 30 then 1
+         when way_type in {lanes} and maxspeed <= 50 and width >= 2.0 then 2
+         when way_type in {lanes} then 3
+         when maxspeed <= 30 and width >= 4.0 then 2
+         when maxspeed <= 30 then 3
+         when maxspeed <= 50 then 3
+         else 4
+       end as int) as stress_level
+from (select p_partkey, {wt} as way_type, {ms} as maxspeed,
+             {width} as width from part) t
+"""
+
+
+_sql_pair("rule_lts", ("part",), _rule_lts,
+          "R17 Level-of-Traffic-Stress decision tree as nested CASE WHEN")
