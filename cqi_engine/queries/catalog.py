@@ -1197,3 +1197,52 @@ from (select p_partkey, {wt} as way_type, {ms} as maxspeed,
 
 _sql_pair("rule_lts", ("part",), _rule_lts,
           "R17 Level-of-Traffic-Stress decision tree as nested CASE WHEN")
+
+
+def _rule_width_factor(d: str) -> str:
+    # R10 width-factor logistic curves (ref:cycling_quality_index.py:
+    # 1247-1253): <= 3 m (or shared) -> 1.1/(1+20 e^(-2.1 w)) else
+    # 2/(1+1.8 e^(-0.24 w)); round 3.  exp() is libm on both engines —
+    # bit-identical for identical double inputs (verified).
+    w = "(1.0 + (p_partkey % 23) * 0.25)"
+    shared = "((p_partkey % 5) = 0)"
+    return f"""
+select p_partkey, cast(w as double) as calc_width,
+       cast(case when shared or w <= 3.0
+            then round(1.1 / (1 + 20 * exp(-2.1 * w)), 3)
+            else round(2.0 / (1 + 1.8 * exp(-0.24 * w)), 3)
+       end as double) as fac_width
+from (select p_partkey, {w} as w, {shared} as shared from part) t
+"""
+
+
+_sql_pair("rule_width_factor", ("part",), _rule_width_factor,
+          "R10 logistic width factor (both curve branches), rounded 3")
+
+
+def _rule_surface_factor(d: str) -> str:
+    # R11: smoothness factor preferred, else surface factor
+    # (ref:cycling_quality_index.py:1266-1270; tables parameter.py:102-143)
+    from .. import config as C
+    surfaces = sorted(C.SURFACE_FACTOR)
+    smooth_vals = sorted(C.SMOOTHNESS_FACTOR) + ["", ""]
+    surf = D.at(D.str_arr_lit(surfaces, d),
+                f"(p_partkey % {len(surfaces)}) + 1", d)
+    smooth = D.at(D.str_arr_lit(smooth_vals, d),
+                  f"(p_partkey % {len(smooth_vals)}) + 1", d)
+    sm_case = ("case smoothness " + " ".join(
+        f"when '{k}' then cast({v} as double)"
+        for k, v in sorted(C.SMOOTHNESS_FACTOR.items())) + " end")
+    sf_case = ("case surface " + " ".join(
+        f"when '{k}' then cast({v} as double)"
+        for k, v in sorted(C.SURFACE_FACTOR.items())) + " end")
+    return f"""
+select p_partkey, surface, smoothness,
+       cast(coalesce({sm_case}, {sf_case}) as double) as fac_surface
+from (select p_partkey, {surf} as surface, {smooth} as smoothness
+      from part) t
+"""
+
+
+_sql_pair("rule_surface_factor", ("part",), _rule_surface_factor,
+          "R11 smoothness-preferred surface factor lookup")
