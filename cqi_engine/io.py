@@ -29,15 +29,18 @@ def read_geojson_lines(path: str) -> pd.DataFrame:
         props["geom_lonlat"] = np.asarray(geom["coordinates"], dtype=float)
         rows.append(props)
     df = pd.DataFrame(rows)
-    # tags arrive as strings; normalize missing to None
-    for c in df.columns:
-        if c != "geom_lonlat":
-            df[c] = df[c].astype(object).where(pd.notna(df[c]), None)
-    df["geom_metric"] = [
+    # tags arrive as strings; normalize missing to None (single dict->frame
+    # rebuild, not per-column inserts — avoids pandas fragmentation)
+    data = {
+        c: (df[c] if c == "geom_lonlat"
+            else df[c].astype(object).where(pd.notna(df[c]), None))
+        for c in df.columns
+    }
+    data["geom_metric"] = [
         np.column_stack(lonlat_to_metric(g[:, 0], g[:, 1]))
         for g in df["geom_lonlat"]
     ]
-    return df
+    return pd.DataFrame(data)
 
 
 def feature_frame(fc: dict) -> pd.DataFrame:
