@@ -106,3 +106,24 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+
+
+def test_cell_partitioned_layout_prunes(spark, tmp_path):
+    """Directory partition pruning + row-group predicate pushdown on the
+    cell-clustered layout (SURVEY §4 partition pruning / min-max skip)."""
+    from cqi_engine.ops.layout import read_cell_range, write_cell_partitioned
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    cells_df = run_query(spark, "/root/testdata/sf0.01",
+                         CATALOG["cell_assign"])
+    path = str(tmp_path / "cells")
+    write_cell_partitioned(cells_df, path)
+
+    ranged = read_cell_range(spark, path, 1200, 1399)
+    plan = plan_text(ranged)
+    assert "PartitionFilters" in plan and "cell_bucket" in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(cell" in plan
+
+    # correctness: pruned read == full-scan filter
+    want = cells_df.filter("cell between 1200 and 1399").count()
+    assert ranged.count() == want and want > 0
