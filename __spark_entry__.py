@@ -23,9 +23,10 @@ from cqi_engine.queries.catalog import CATALOG, run_query  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from cqi_engine.session import ship_package
+    from cqi_engine.session import ship_package, tune_runtime
     from cqi_engine.sources.webways import score_documents
     ship_package(spark)
+    tune_runtime(spark)
     return score_documents(spark, "/root/testdata/sf0.001")
 
 

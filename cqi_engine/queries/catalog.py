@@ -78,8 +78,9 @@ def _sql_pair(name: str, tables: tuple, template: Callable[[str], str],
 
 def run_query(spark, sf_dir: str, q: Query):
     """Register the needed parquet views and execute the Spark side."""
-    from ..session import ship_package
+    from ..session import ship_package, tune_runtime
     ship_package(spark)
+    tune_runtime(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in q.tables:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

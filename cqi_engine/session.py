@@ -74,3 +74,25 @@ def ship_package(spark: SparkSession) -> None:
                 zf.write(full, arc)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_SESSIONS.add(key)
+
+
+def tune_runtime(spark: SparkSession) -> None:
+    """Engine defaults that are runtime-settable on any session.
+
+    The harness may hand us a vanilla session (200 shuffle partitions, no
+    AQE tuning) — these settings are the same ones build_session bakes in,
+    applied to whatever session executes the engine's queries.
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"),
+        ("spark.sql.shuffle.partitions", "64"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this session -> keep its value
+            pass
