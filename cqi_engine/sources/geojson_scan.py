@@ -55,3 +55,23 @@ def featurecollection_to_lines(src_path: str, dst_path: str) -> int:
             out.write(json.dumps(feat, ensure_ascii=False) + "\n")
             n += 1
     return n
+
+
+def merge_way_files(spark: SparkSession, paths: list[str],
+                    tag_columns: list[str]) -> DataFrame:
+    """S2 multi-file merge (ref:cycling_quality_index.py:1817-1833):
+    enumerate way files, merge (`native:mergevectorlayers` -> unionByName)
+    and drop duplicate geometries (`native:deleteduplicategeometries` ->
+    dropDuplicates on a canonical geometry key).
+
+    The dedupe key is the exact coordinate sequence serialized to a
+    string — byte-stable, so two features are duplicates iff their
+    vertex lists are identical (the QGIS semantic)."""
+    frames = [read_geojsonl(spark, p, tag_columns) for p in paths]
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f, allowMissingColumns=True)
+    geom_key = F.sha2(F.to_json(F.col("geom_lonlat")), 256)
+    return (merged.withColumn("_geom_key", geom_key)
+            .dropDuplicates(["_geom_key"])
+            .drop("_geom_key"))

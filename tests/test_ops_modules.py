@@ -372,3 +372,22 @@ def test_warc_roundtrip_and_score(spark, tmp_path):
         assert r["lang"] == row["lang"]
 
     assert score_pages(pages).count() == 164
+
+
+# ------------------------------------------------- multi-file merge (S2) ----
+def test_merge_way_files_dedupes_geometries(spark, tmp_path):
+    """S2: merge N way files, drop duplicate geometries
+    (ref:cycling_quality_index.py:1817-1833 semantics)."""
+    from cqi_engine.sources.geojson_scan import (featurecollection_to_lines,
+                                                 merge_way_files)
+
+    src = "/root/reference/data/test_ways/test_ways.geojson"
+    p1 = str(tmp_path / "a.geojsonl")
+    p2 = str(tmp_path / "b.geojsonl")
+    featurecollection_to_lines(src, p1)
+    featurecollection_to_lines(src, p2)  # identical second import file
+
+    merged = merge_way_files(spark, [p1, p2], ["id", "highway"])
+    assert merged.count() == 138  # duplicates across files collapsed
+    ids = [r["id"] for r in merged.select("id").collect()]
+    assert len(set(ids)) == 138
