@@ -1247,3 +1247,23 @@ from (select p_partkey, {surf} as surface, {smooth} as smoothness
 
 _sql_pair("rule_surface_factor", ("part",), _rule_surface_factor,
           "R11 smoothness-preferred surface factor lookup")
+
+
+def _props_extract(d: str) -> str:
+    # semi-structured JSON property extraction over the event stream
+    # (webtext metadata parsing; Spark get_json_object == DuckDB
+    # json_extract_string, verified)
+    fn = ("get_json_object(props, '$.k')" if d == SPARK
+          else "json_extract_string(props, '$.k')")
+    return f"""
+select event_type,
+       cast(count(*) as bigint) as n,
+       cast(sum(try_cast({fn} as bigint)) as bigint) as sum_k,
+       cast(min(try_cast({fn} as bigint)) as bigint) as min_k,
+       cast(max(try_cast({fn} as bigint)) as bigint) as max_k
+from events group by event_type
+"""
+
+
+_sql_pair("props_extract", ("events",), _props_extract,
+          "Semi-structured JSON property extraction + aggregation")
