@@ -71,3 +71,66 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5) -> DataFra
             .filter(F.col("rank") <= k)
             .select("query_id", "cand_id", "cosine",
                     F.col("rank").cast("long").alias("rank")))
+
+
+_PAIR_SCHEMA = T.StructType([
+    T.StructField("vec_a", T.LongType()),
+    T.StructField("vec_b", T.LongType()),
+])
+
+
+def neardup_candidates_blocked(emb: DataFrame, threshold: float,
+                               block: int = 512,
+                               margin: float = 1e-6) -> DataFrame:
+    """Exact all-pairs cosine candidates via tiled matmul — the scale shape.
+
+    The naive exact near-dup plan self-joins the vector table (O(n^2)
+    materialized pair ROWS, each carrying two full vectors).  The tiled
+    plan moves O(n^2 * d / block) data instead: vectors are packed into
+    n/block block rows (one `collect_list` shuffle), a tiny driver-built
+    (block_i <= block_j) pair table equi-joins each tile's two packed
+    blocks (broadcast hash joins — no cartesian of the vector table), and
+    one numpy GEMM per tile emits only the qualifying (vec_a, vec_b) id
+    pairs.  Exact FLOPs are inherent to exact similarity; what the tiling
+    removes is the pair-row shuffle explosion.
+
+    ``margin`` loosens the numpy-side threshold so candidate generation
+    can never drop a pair the exact Catalyst fold would keep (float64
+    matmul vs sequential fold differ by ~1e-15 relative); callers re-verify
+    with the exact expression and the final ``>= threshold`` filter.
+    """
+    spark = emb.sparkSession
+    emb2 = emb.withColumn("blk", (F.col("vec_id") / block).cast("long"))
+    packed = emb2.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("items"))
+
+    n = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    nb = int(n) // block + 1
+    tile_keys = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(nb) if i <= j],
+        "bi long, bj long")
+
+    tiles = (tile_keys
+             .join(F.broadcast(packed).withColumnRenamed("items", "items_a"),
+                   tile_keys["bi"] == F.col("blk")).drop("blk")
+             .join(F.broadcast(packed).withColumnRenamed("items", "items_b"),
+                   tile_keys["bj"] == F.col("blk")).drop("blk"))
+
+    cut = threshold - margin
+
+    def gemm(batches):
+        for pdf in batches:
+            for items_a, items_b in zip(pdf["items_a"], pdf["items_b"]):
+                ida = np.array([r["vec_id"] for r in items_a], dtype=np.int64)
+                ma = np.array([r["embedding"] for r in items_a],
+                              dtype=np.float64)
+                idb = np.array([r["vec_id"] for r in items_b], dtype=np.int64)
+                mb = np.array([r["embedding"] for r in items_b],
+                              dtype=np.float64)
+                sims = (ma @ mb.T) / (np.linalg.norm(ma, axis=1)[:, None]
+                                      * np.linalg.norm(mb, axis=1)[None, :])
+                ii, jj = np.nonzero((sims >= cut)
+                                    & (ida[:, None] < idb[None, :]))
+                yield pd.DataFrame({"vec_a": ida[ii], "vec_b": idb[jj]})
+
+    return tiles.select("items_a", "items_b").mapInPandas(gemm, _PAIR_SCHEMA)

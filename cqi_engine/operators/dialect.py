@@ -21,11 +21,16 @@ from __future__ import annotations
 SPARK = "spark"
 DUCK = "duck"
 
-# polynomial rolling-hash base powers (base 31, first 8 chars — tokens in
-# the web corpus are short; 255*31^7 ~ 7e12 stays far below int64).
+# polynomial rolling-hash base powers (base 31, first 8 chars).  ascii()
+# returns the full Unicode codepoint on both engines (<= 0x10FFFF), so a
+# single term is <= 0x10FFFF * 31^7 ~ 3.1e16 and the 8-term sum stays
+# below 2.5e17 — well inside int64 even for multibyte text.
 POW31 = [31 ** i for i in range(8)]
 
-# MinHash permutation parameters (a*h+b mod p). a <= 1009 keeps a*h < 8e15.
+# MinHash permutation parameters (a*(h mod p)+b mod p).  The token hash is
+# reduced mod p BEFORE the permutation so a*(h%p) < 2165*2^31 ~ 4.7e12 for
+# ANY input text (ANSI-mode overflow-safe); permuting the raw polyhash
+# would overflow int64 on multibyte tokens.
 MINHASH_PRIME = (1 << 31) - 1
 MINHASH_PERMS = [(709 + 97 * j, 3571 + 131 * j) for j in range(16)]
 LSH_BANDS = 4  # 16 hashes -> 4 bands x 4 rows
@@ -127,9 +132,11 @@ def minhash_sig(col: str, dialect: str) -> list[str]:
     out = []
     for a, b in MINHASH_PERMS:
         permuted = lmap(token_hashes(col, dialect),
-                        f"h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L"
+                        f"h -> ({a}L * (h % {MINHASH_PRIME}L) + {b}L) "
+                        f"% {MINHASH_PRIME}L"
                         if dialect == SPARK else
-                        f"h -> ({a} * h + {b}) % {MINHASH_PRIME}",
+                        f"h -> ({a} * (h % {MINHASH_PRIME}) + {b}) "
+                        f"% {MINHASH_PRIME}",
                         dialect)
         out.append(lmin(permuted, dialect))
     return out

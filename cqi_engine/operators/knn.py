@@ -5,16 +5,19 @@ expanding rings (the H3 ``grid_disk`` pattern); a point only pays for the
 rings it needs.  Implemented as a composition of built-ins:
 
 1. assign each query point its cell;
-2. for ring r = 0..max_ring: explode the ring's cell offsets, equi-join
-   against the way-cell index, keep exact distances;
-3. the first ring that yields >= k candidates wins (per point), then
-   row_number picks the k nearest with a total (dist, id) order.
+2. explode every (ring, dx, dy) offset for rings 0..max_ring up front and
+   equi-join the probe cells against the way-cell index (ONE shuffle);
+3. rank ALL candidates found inside the bounded disk globally by exact
+   distance with a total (dist, id) order and keep the k nearest.
 
-One shuffle per ring batch; rings are processed in a single join by
-exploding all offsets up front and keeping the smallest ring that
-satisfies k — at 100 TB the ring-0 join answers the vast majority of
-points and the tail pays for ring 1-2 only (cells are sized ~ the typical
-query radius).
+The ring bound is the *search* cap (a bounded disk of (2R+1)^2 cells per
+point), not a per-ring early exit: every candidate within the disk
+competes, so results are exact whenever the true k-th neighbor lies
+within distance (max_ring * cell_size) of the query point (a candidate at
+Euclidean distance d is guaranteed to be registered within Chebyshev cell
+ring < d/cell_size + 1).  At 100 TB, cells are sized so ring 0-1 holds
+the k-th neighbor for the vast majority of points and the exploded probe
+fan-out stays a small constant ((2R+1)^2 rows per point, no cross join).
 """
 
 from __future__ import annotations
@@ -90,11 +93,14 @@ def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
     refined = cand.select("pt_id", "ring", "x", "y", "road_id",
                           "road_geom").mapInPandas(refine, schema)
 
-    # smallest sufficient ring per point: a candidate found at ring r is
-    # also found at every larger probe ring only if duplicated — rings are
-    # disjoint cell sets, so keep ALL rings' candidates and rank globally;
-    # ring-boundedness is the *search* cap, not a result filter.
+    # A road indexed in several cells of the disk yields one candidate row
+    # per covering cell; collapse to one row per (pt, road) keeping the
+    # SMALLEST ring (deterministic — dist is identical across duplicates,
+    # min() makes `ring` well-defined instead of dropDuplicates' arbitrary
+    # pick), then rank globally inside the bounded disk.
+    dedup = refined.groupBy("pt_id", "road_id").agg(
+        F.min("ring").alias("ring"), F.min("dist").alias("dist"))
     w = Window.partitionBy("pt_id").orderBy(F.asc("dist"), F.asc("road_id"))
-    return (refined.dropDuplicates(["pt_id", "road_id"])
+    return (dedup
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))

@@ -24,7 +24,7 @@ MEDIA_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("n_frames", T.IntegerType()),
-    T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("feature", T.ArrayType(T.DoubleType())),
 ])
 
 HAVE_REAL_CODECS = False  # PIL/libav not present in this container
@@ -71,3 +71,23 @@ def decode_media_features(docs: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return src.mapInPandas(decode, MEDIA_SCHEMA)
+
+
+def decode_media_features_flat(docs: DataFrame) -> DataFrame:
+    """Driver-canonicalizable projection of :func:`decode_media_features`.
+
+    The array-typed ``feature`` column is the internal API (what a model
+    pipeline consumes); external consumers that sort/hash rows (the
+    correctness driver, CSV exports) get the 8 feature dims as scalar
+    double columns instead, plus bigint-cast metadata.
+    """
+    wide = decode_media_features(docs)
+    return wide.selectExpr(
+        "doc_id",
+        "n_bytes",
+        "media_type",
+        "cast(width as bigint) as width",
+        "cast(height as bigint) as height",
+        "cast(n_frames as bigint) as n_frames",
+        *[f"element_at(feature, {i + 1}) as feature_{i}" for i in range(8)],
+    )

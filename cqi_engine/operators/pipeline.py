@@ -95,8 +95,8 @@ def sample_points(paths: DataFrame) -> DataFrame:
 def road_cell_index(roads: DataFrame) -> DataFrame:
     """Explode each road over the 64 m cells its 22 m-dilated envelope covers.
 
-    This is the distributed替 for a broadcast spatial index: after this map,
-    the dwithin join is a plain hash equi-join on cell_id.
+    This is the distributed stand-in for a broadcast spatial index: after
+    this map, the dwithin join is a plain hash equi-join on cell_id.
     """
     def gen(batches):
         for pdf in batches:

@@ -466,7 +466,9 @@ _reg(Query("dwithin_join", ("customer", "supplier"),
 
 
 def _knn(d: str) -> str:
-    # kNN nearest-site lookup (north_star): total-order (dist_sq, id)
+    # kNN nearest-site lookup (north_star): total-order (dist_sq, id),
+    # uncapped — every customer against every supplier (the brute-force
+    # baseline; `knn_blocked` below is the graded scale path).
     cx, cy = CUST_PT
     sx, sy = SUPP_PT
     return f"""
@@ -480,13 +482,75 @@ from (
                    + (({cy}) - ({sy})) * (({cy}) - ({sy})) asc,
                      s.s_suppkey asc) as rn
   from customer c cross join supplier s
-  where c.c_custkey <= 300
 ) t where rn <= 5
 """
 
 
 _sql_pair("knn_sites", ("customer", "supplier"), _knn,
-          "kNN nearest-way lookup; Spark side broadcasts the small site table")
+          "kNN nearest-way lookup, brute-force baseline (cross-join + "
+          "window); the scale path is knn_blocked")
+
+_KNN_CELL_M = 10_000  # kNN grid is coarser than the dwithin grid: cells
+#                       are sized ~ the typical k-NN radius, not the join
+#                       predicate radius.
+
+
+def _knn_blocked_fn(spark, sf_dir: str):
+    """Scale path: cell-ring-bounded kNN (operators/knn.py knn_ways).
+
+    Exactness contract of grid kNN: results equal the global brute force
+    whenever each point's true k-th neighbor lies within max_ring *
+    cell_size.  max_ring is chosen from the measured site density with a
+    2.5x tail-safety factor over the mean k-NN radius sqrt(k/(pi*lambda))
+    (the max/mean ratio is ~2.06 on every tested corpus; a production
+    engine would additionally verify dist_k <= max_ring*cell per point and
+    re-probe the failures).  The driver's cross-join oracle (`_knn`) is
+    the independent proof that the bound held.
+    """
+    from pyspark.sql import functions as F
+    from ..operators.knn import knn_ways
+
+    import math
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n_sites = supp.count()
+    lam = n_sites / float(WORLD_M) ** 2
+    radius = 2.5 * math.sqrt(5 / (math.pi * lam))
+    max_ring = max(1, int(math.ceil(radius / _KNN_CELL_M)))
+
+    cx, cy = CUST_PT
+    sx, sy = SUPP_PT
+    points = cust.selectExpr(
+        "lpad(cast(c_custkey as string), 12, '0') as pt_id",
+        f"cast({cx} as double) as x", f"cast({cy} as double) as y",
+        f"cast({cx} div {_KNN_CELL_M} as int) as cx",
+        f"cast({cy} div {_KNN_CELL_M} as int) as cy")
+    sites = supp.selectExpr(
+        "lpad(cast(s_suppkey as string), 12, '0') as road_id",
+        f"cast({sx} div {_KNN_CELL_M} as int) as cellx",
+        f"cast({sy} div {_KNN_CELL_M} as int) as celly",
+        f"array(array(cast({sx} as double), cast({sy} as double))) "
+        "as road_geom")
+
+    knn = knn_ways(points, sites, k=5, max_ring=max_ring)
+    # integer dist_sq recomputed from the keys (exact; the operator's
+    # rounded-sqrt `dist` orders identically but is not the oracle's unit)
+    dx = f"(({cx}) - ({sx}))"
+    dy = f"(({cy}) - ({sy}))"
+    return knn.selectExpr(
+        "cast(pt_id as bigint) as c_custkey",
+        "cast(road_id as bigint) as s_suppkey",
+        "cast(rank as bigint) as rank",
+    ).selectExpr(
+        "c_custkey", "s_suppkey",
+        f"cast({dx} * {dx} + {dy} * {dy} as bigint) as dist_sq",
+        "rank")
+
+
+_reg(Query("knn_blocked", ("customer", "supplier"), fn=_knn_blocked_fn,
+           duck_sql=_knn(DUCK),
+           doc="Scale-path kNN: bounded-ring cell join (knn_ways) graded "
+               "against the uncapped cross-join oracle"))
 
 
 def _point_in_polygon(d: str) -> str:
@@ -578,9 +642,9 @@ def _jaccard_expr(d: str, a: str, b: str) -> str:
 
 
 def _dedup_minhash_lsh(d: str) -> str:
-    # MinHash(16) + LSH(4 bands x 4 rows) candidate pairs, verified by exact
-    # Jaccard >= 0.9 on distinct-token sets. doc_id < 100 keeps the oracle
-    # cross-check tractable; the Spark plan is the banded join (scale path).
+    # MinHash(16) + LSH(4 bands x 4 rows) candidate pairs over the FULL
+    # corpus (no row cap), verified by exact Jaccard >= 0.9 on
+    # distinct-token sets. The Spark plan is the banded join (scale path).
     jac = _jaccard_expr(d, "da.text", "db.text")
     return f"""
 with bands as ({_minhash_bands(d)}),
@@ -589,7 +653,6 @@ cand as (
   from bands a join bands b
     on a.band_idx = b.band_idx and a.band_key = b.band_key
    and a.doc_id < b.doc_id
-  where a.doc_id < 100 and b.doc_id < 100
 )
 select c.doc_a, c.doc_b,
        cast(round({jac}, 6) as double) as jaccard
@@ -610,7 +673,8 @@ def _minhash_spark_staged() -> str:
     ths = D.token_hashes("text", d)
     m = D.MINHASH_PRIME
     sig_cols = ", ".join(
-        f"array_min(transform(ths, h -> ({a}L * h + {b}L) % {m}L)) as s{j}"
+        f"array_min(transform(ths, h -> ({a}L * (h % {m}L) + {b}L) % {m}L)) "
+        f"as s{j}"
         for j, (a, b) in enumerate(D.MINHASH_PERMS))
     rows = len(D.MINHASH_PERMS) // D.LSH_BANDS
     mixm = (1 << 31) - 1
@@ -624,7 +688,7 @@ def _minhash_spark_staged() -> str:
     bands = " union all ".join(band_selects)
     jac = _jaccard_expr(d, "da.text", "db.text")
     return f"""
-with th as (select doc_id, text, {ths} as ths from documents where doc_id < 100),
+with th as (select doc_id, text, {ths} as ths from documents),
 sigs as (select doc_id, {sig_cols} from th),
 bands as ({bands}),
 cand as (
@@ -675,9 +739,9 @@ def _ngram_jaccard(d: str) -> str:
                    d)
     dgrams = (f"array_distinct({grams})" if d == SPARK
               else f"list_distinct({grams})")
-    explode = (f"select doc_id, explode({dgrams}) as g from documents where doc_id < 60"
+    explode = (f"select doc_id, explode({dgrams}) as g from documents"
                if d == SPARK else
-               f"select doc_id, unnest({dgrams}) as g from documents where doc_id < 60")
+               f"select doc_id, unnest({dgrams}) as g from documents")
     return f"""
 with shingles as ({explode}),
 sizes as (select doc_id, count(*) as sz from shingles group by doc_id),
@@ -732,8 +796,88 @@ where {cos} >= 0.35
 """
 
 
-_sql_pair("embed_neardup", ("embeddings",), _embed_neardup,
-          "Embedding-cosine near-dup pairs (exact fold, bit-parity dot)")
+_NEARDUP_THRESHOLD = 0.35
+
+
+def _embed_neardup_fn(spark, sf_dir: str):
+    """Scale path: tiled-GEMM candidate generation (operators/ann.py
+    neardup_candidates_blocked — no O(n^2) pair-row self-join), survivors
+    re-verified with the exact Catalyst cosine fold so the output is
+    bit-identical to the all-pairs DuckDB oracle."""
+    from pyspark.sql import functions as F
+    from ..operators.ann import neardup_candidates_blocked
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = neardup_candidates_blocked(emb, _NEARDUP_THRESHOLD)
+    cos = (f"({_dot64(SPARK, 'a.embedding', 'b.embedding')} / "
+           f"({_norm(SPARK, 'a.embedding')} * {_norm(SPARK, 'b.embedding')}))")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (cand
+            .join(a, cand["vec_a"] == F.col("a.vec_id"))
+            .join(b, cand["vec_b"] == F.col("b.vec_id"))
+            .where(F.expr(f"{cos} >= {_NEARDUP_THRESHOLD}"))
+            .selectExpr("vec_a", "vec_b",
+                        f"cast(round({cos}, 6) as double) as cosine"))
+
+
+_reg(Query("embed_neardup", ("embeddings",), fn=_embed_neardup_fn,
+           duck_sql=_embed_neardup(DUCK),
+           doc="Embedding-cosine near-dup pairs: tiled-GEMM candidate "
+               "generation + exact-fold verify (Spark) vs all-pairs "
+               "self-join (DuckDB oracle only)"))
+
+
+# LSH-table near-dup: the true 100 TB path. L hyperplane tables; a pair is
+# a candidate iff it collides in >= 1 table; candidates are exact-verified.
+# Semantics are recall-bounded BY DESIGN (hyperplane LSH collision prob for
+# a pair at angle theta is (1 - theta/pi)^planes per table) and both
+# dialects compute the identical buckets, so the oracle checks the LSH
+# OPERATOR itself, not a lossy approximation of another query.  Measured on
+# this corpus (tests/test_ops_modules.py): qualifying pairs sit at cosine
+# 0.35-0.6 (~69 deg), so recall vs the exact set is partial — the exact
+# entry above is the recall-1 path; this one is the sub-quadratic one.
+_LSH_TABLES = 4
+# deterministic integer hyperplanes for LSH bucketing: w[j][i] in [-6, 6]
+_ANN_PLANES = 8
+
+
+def _lsh_table_bucket(d: str, t: int, col: str = "embedding") -> str:
+    bits = []
+    for j in range(_ANN_PLANES):
+        w = f"((({j + 1}) * 31 + (i - 1) * 17 + {t} * 7) % 13 - 6)"
+        proj = (f"aggregate(transform(sequence(1, 64), i -> {w} * "
+                f"cast(element_at({col}, i) as double)), "
+                f"cast(0 as double), (acc, v) -> acc + v)" if d == SPARK else
+                f"list_aggregate(list_transform(range(1, 65), i -> {w} * "
+                f"cast(list_extract({col}, i) as double)), 'sum')")
+        bits.append(f"(case when ({proj}) > 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _embed_neardup_lsh(d: str) -> str:
+    cos = (f"({_dot64(d, 'ea.embedding', 'eb.embedding')} / "
+           f"({_norm(d, 'ea.embedding')} * {_norm(d, 'eb.embedding')}))")
+    per_table = " union all ".join(
+        f"select vec_id, {t} as tbl, {_lsh_table_bucket(d, t)} as bucket "
+        f"from embeddings" for t in range(_LSH_TABLES))
+    return f"""
+with buckets as ({per_table}),
+cand as (
+  select distinct a.vec_id as vec_a, b.vec_id as vec_b
+  from buckets a join buckets b
+    on a.tbl = b.tbl and a.bucket = b.bucket and a.vec_id < b.vec_id
+)
+select c.vec_a, c.vec_b, cast(round({cos}, 6) as double) as cosine
+from cand c
+join embeddings ea on ea.vec_id = c.vec_a
+join embeddings eb on eb.vec_id = c.vec_b
+where {cos} >= {_NEARDUP_THRESHOLD}
+"""
+
+
+_sql_pair("embed_neardup_lsh", ("embeddings",), _embed_neardup_lsh,
+          "Sub-quadratic LSH-table near-dup: banded hyperplane buckets -> "
+          "equi-join candidates -> exact cosine verify")
 
 
 def _ann_topk(d: str) -> str:
@@ -754,10 +898,6 @@ from (
 
 _sql_pair("ann_topk", ("embeddings",), _ann_topk,
           "Brute-force cosine top-k (baseline ANN); rank on rounded sim")
-
-
-# deterministic integer hyperplanes for LSH bucketing: w[j][d] in [-6, 6]
-_ANN_PLANES = 8
 
 
 def _ann_lsh_bucket(d: str) -> str:
@@ -925,14 +1065,9 @@ _reg(Query("cqi_score_ways", ("documents",), fn=_cqi_score_fn,
 
 
 def _media_decode_fn(spark, sf_dir: str):
-    from ..operators.media import decode_media_features
+    from ..operators.media import decode_media_features_flat
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_media_features(docs)
-
-
-_reg(Query("media_decode", ("documents",), fn=_media_decode_fn,
-           doc="Multimodal decode pipeline over opaque binary columns "
-               "(deterministic fake decode; real libs stubbed)"))
+    return decode_media_features_flat(docs)
 
 
 def _ann_topk_blocked_fn(spark, sf_dir: str):
@@ -989,6 +1124,9 @@ def _media_decode_sql(d: str) -> str:
         return f"(({hi}) * 16 + ({lo}))"
     mt = (f"{D.at(D.str_arr_lit(['image/png', 'image/jpeg', 'audio/wav', 'video/mp4'], d), f'({byte(0)}) % 4 + 1', d)}")
     blob = ("cast(text as binary)" if d == SPARK else "encode(text)")
+    feats = ",\n       ".join(
+        f"cast(round(({byte(4 + i)}) / 255.0, 6) as double) as feature_{i}"
+        for i in range(8))
     return f"""
 select doc_id,
        cast(octet_length({blob}) as bigint) as n_bytes,
@@ -996,15 +1134,25 @@ select doc_id,
        cast(64 + (({byte(1)}) % 64) * 16 as bigint) as width,
        cast(64 + (({byte(2)}) % 64) * 16 as bigint) as height,
        cast(1 + ({byte(3)}) % 240 as bigint) as n_frames,
-       cast(round(({byte(4)}) / 255.0, 6) as double) as feature_0,
-       cast(round(({byte(5)}) / 255.0, 6) as double) as feature_1
+       {feats}
 from (select doc_id, text, {h} as h from documents) t
 """
 
 
+# `media_decode` IS the mapInPandas pipeline (operators/media.py) graded
+# against the hash-arithmetic DuckDB oracle: the stub decode is a pure
+# function of sha256(payload), so the oracle recomputes every byte-derived
+# attribute (incl. all 8 feature dims) independently of the Python path.
+# Python round() and SQL round() agree on every k/255 input (k=0..255,
+# exhaustively checked in tests/test_ops_modules.py).
+_reg(Query("media_decode", ("documents",), fn=_media_decode_fn,
+           duck_sql=_media_decode_sql(DUCK),
+           doc="Multimodal decode pipeline over opaque binary columns "
+               "(mapInPandas stub decode vs sha256-arithmetic oracle)"))
+
 _sql_pair("media_decode_sql", ("documents",), _media_decode_sql,
           "Stub media decode re-expressed as sha256-hash arithmetic - the "
-          "oracle-checked twin of the mapInPandas media_decode pipeline")
+          "dual-dialect SQL twin of the mapInPandas media_decode pipeline")
 
 
 def _ann_ivf_topk(d: str) -> str:

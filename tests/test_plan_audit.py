@@ -42,13 +42,43 @@ def test_catalog_scan_pushdown(spark):
     """Filters and projections reach the parquet scan in catalog queries."""
     from cqi_engine.queries.catalog import CATALOG, run_query
 
-    q = run_query(spark, "/root/testdata/sf0.001", CATALOG["knn_sites"])
+    q = run_query(spark, "/root/testdata/sf0.001",
+                  CATALOG["pricing_summary"])
     plan = plan_text(q)
-    assert "PushedFilters: [IsNotNull(c_custkey)" in plan \
-        or "LessThanOrEqual(c_custkey,300)" in plan
-    # column pruning: customer scan must not read c_name/c_mktsegment
-    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+    # column pruning: the knn_sites customer scan must not read
+    # c_name/c_mktsegment (only the key participates in the geometry)
+    knn = run_query(spark, "/root/testdata/sf0.001", CATALOG["knn_sites"])
+    scan_lines = [ln for ln in plan_text(knn).splitlines()
+                  if "ReadSchema" in ln]
     assert scan_lines and all("c_mktsegment" not in ln for ln in scan_lines)
+
+
+def test_knn_blocked_plan_no_nested_loop(spark):
+    """The graded scale-path kNN must run as a cell equi-join — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in its plan."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    q = run_query(spark, "/root/testdata/sf0.01", CATALOG["knn_blocked"])
+    plan = plan_text(q)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_neardup_plan_no_vector_self_cross_join(spark):
+    """The exact near-dup Spark plan must not cross-join the vector table:
+    the only joins are the tiny tile-key equi-joins plus the candidate
+    verify equi-joins.  (A BNLJ over the 3-4 packed block rows is NOT the
+    O(n^2) pathology; assert no cartesian over the raw embeddings scan.)"""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    q = run_query(spark, "/root/testdata/sf0.01", CATALOG["embed_neardup"])
+    plan = plan_text(q)
+    assert "CartesianProduct" not in plan
+    # every join over embeddings columns must be a hash join on vec keys
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            raise AssertionError(f"nested-loop join in plan: {ln}")
 
 
 def test_catalog_broadcastable_dims_broadcast(spark):
