@@ -181,6 +181,62 @@ def offset_polyline(coords: np.ndarray, distance: float) -> np.ndarray:
     return out
 
 
+def points_to_segments_dist(px: np.ndarray, py: np.ndarray,
+                            segs: np.ndarray) -> np.ndarray:
+    """Min distance from each point (px[i], py[i]) to ANY of a set of
+    independent segments given as an (s, 4) array [ax, ay, bx, by].
+
+    Unlike :func:`point_to_polyline_dist` this does not assume the
+    segments are connected — it is the refine kernel for cell-clipped
+    road geometry, where only the segments near one cell are carried and
+    a phantom chord between non-adjacent segments would under-estimate
+    the true distance.
+    """
+    segs = np.asarray(segs, dtype=float)
+    a = segs[:, 0:2]
+    b = segs[:, 2:4]
+    ab = b - a
+    ablen2 = (ab ** 2).sum(1)
+    ablen2 = np.where(ablen2 > 0, ablen2, 1.0)
+    apx = px[:, None] - a[None, :, 0]
+    apy = py[:, None] - a[None, :, 1]
+    t = np.clip((apx * ab[None, :, 0] + apy * ab[None, :, 1])
+                / ablen2[None, :], 0.0, 1.0)
+    dx = apx - t * ab[None, :, 0]
+    dy = apy - t * ab[None, :, 1]
+    return np.sqrt(dx * dx + dy * dy).min(axis=1)
+
+
+def segment_cells_clipped(coords: np.ndarray, cell_size: float,
+                          pad: float) -> dict[tuple[int, int], np.ndarray]:
+    """Per covered cell, the (s, 4) segments whose `pad`-dilated bbox
+    touches that cell.
+
+    This is the payload-bounded variant of :func:`segment_bbox_cells`:
+    instead of registering the FULL polyline in every covered cell
+    (multiplicative shuffle payload for long ways crossing many cells),
+    each cell carries only its local segments.  Exact for any
+    ``dist <= pad`` predicate: a segment within `pad` of a point inside
+    cell C has its dilated bbox intersecting C, so it is registered there.
+    """
+    coords = np.asarray(coords, dtype=float)
+    if len(coords) < 2:
+        segs = np.hstack([coords[:1], coords[:1]])
+    else:
+        segs = np.hstack([coords[:-1], coords[1:]])
+    by_cell: dict[tuple[int, int], list[int]] = {}
+    for si in range(len(segs)):
+        ax, ay, bx, by = segs[si]
+        x0, x1 = min(ax, bx) - pad, max(ax, bx) + pad
+        y0, y1 = min(ay, by) - pad, max(ay, by) + pad
+        for ix in range(int(np.floor(x0 / cell_size)),
+                        int(np.floor(x1 / cell_size)) + 1):
+            for iy in range(int(np.floor(y0 / cell_size)),
+                            int(np.floor(y1 / cell_size)) + 1):
+                by_cell.setdefault((ix, iy), []).append(si)
+    return {c: segs[idx] for c, idx in by_cell.items()}
+
+
 def segment_bbox_cells(coords: np.ndarray, cell_size: float,
                        pad: float) -> set[tuple[int, int]]:
     """All (ix, iy) grid cells whose box dilated by `pad` touches the line.

@@ -76,15 +76,21 @@ def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
     ])
 
     def refine(batches):
+        # one geometry build + one vectorized distance call per road in
+        # the batch (all candidate points of that road at once), not one
+        # per candidate row
         for pdf in batches:
             if not len(pdf):
                 continue
             dists = np.empty(len(pdf))
-            for i, (x, y, geom) in enumerate(zip(pdf["x"], pdf["y"],
-                                                 pdf["road_geom"])):
-                coords = np.vstack([np.asarray(p, dtype=float) for p in geom])
-                dists[i] = point_to_polyline_dist(
-                    np.array([x]), np.array([y]), coords)[0]
+            pos = pd.RangeIndex(len(pdf))
+            pdf = pdf.set_index(pos)
+            for _, grp in pdf.groupby("road_id", sort=False):
+                coords = np.vstack([np.asarray(p, dtype=float)
+                                    for p in grp["road_geom"].iloc[0]])
+                dists[grp.index.to_numpy()] = point_to_polyline_dist(
+                    grp["x"].to_numpy(dtype=float),
+                    grp["y"].to_numpy(dtype=float), coords)
             yield pd.DataFrame({
                 "pt_id": pdf["pt_id"], "ring": pdf["ring"],
                 "road_id": pdf["road_id"], "dist": np.round(dists, 6),

@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import config as C
-from ..geometry import (lonlat_to_metric, point_to_polyline_dist,
-                        sample_points_along, segment_bbox_cells)
+from ..geometry import (lonlat_to_metric, points_to_segments_dist,
+                        sample_points_along, segment_cells_clipped)
 from ..kernel import rules
 from ..kernel.offsets import run_offset_stage
 from ..kernel.sidepath import determine_maxspeed_value
@@ -97,6 +97,13 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
 
     This is the distributed stand-in for a broadcast spatial index: after
     this map, the dwithin join is a plain hash equi-join on cell_id.
+
+    ``road_geom`` carries only the CLIPPED segments local to each cell
+    ([ax, ay, bx, by] rows, see geometry.segment_cells_clipped) — shipping
+    the full polyline once per covered cell made the shuffle payload for a
+    long way quadratic-ish in its length (length x covered cells); the
+    clip bounds it to ~one copy of each segment per adjacent cell while
+    keeping the <=22 m predicate exact.
     """
     def gen(batches):
         for pdf in batches:
@@ -111,9 +118,10 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
                     msv = float(ms) if ms not in (None, "") else None
                 except (TypeError, ValueError):
                     msv = None
-                for (ix, iy) in segment_bbox_cells(
-                        metric, cells.cell_size(cells.JOIN_RES),
-                        C.SIDEPATH_BUFFER_SIZE_M):
+                clipped = segment_cells_clipped(
+                    metric, cells.cell_size(cells.JOIN_RES),
+                    C.SIDEPATH_BUFFER_SIZE_M)
+                for (ix, iy), segs in clipped.items():
                     rows["road_id"].append(rid)
                     rows["road_highway"].append(hw)
                     rows["road_name"].append(name)
@@ -122,7 +130,7 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
                     rows["cell"].append(
                         (cells.JOIN_RES * cells.SHIFT + ix + cells.OFFSET)
                         * cells.SHIFT + iy + cells.OFFSET)
-                    rows["road_geom"].append(metric.tolist())
+                    rows["road_geom"].append(segs.tolist())
             yield pd.DataFrame(rows)
 
     return roads.select("id", "highway", "name", "maxspeed", "layer",
@@ -144,6 +152,8 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
     the north_rule's explicit skew mechanism for dense-city cells, with AQE
     as the backstop when left off.
     """
+    cols = ["way_id", "pt_seq", "x", "y", "cell", "road_id", "road_highway",
+            "road_name", "road_maxspeed", "road_geom"]
     if salt_threshold is not None:
         from .skew import salted_join
         joined = salted_join(
@@ -151,16 +161,15 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
             on_extra=[lambda p, ix:
                       p["layer"].eqNullSafe(ix["road_layer"])],
             threshold=salt_threshold,
-        ).select("way_id", "pt_seq", "x", "y", "road_id", "road_highway",
-                 "road_name", "road_maxspeed", "road_geom")
+        ).select(*cols)
     else:
         joined = points.join(
             road_cells.hint("shuffle_hash"),
             on=[points["cell"] == road_cells["cell"],
                 points["layer"].eqNullSafe(road_cells["road_layer"])],
             how="inner",
-        ).select("way_id", "pt_seq", "x", "y", "road_id", "road_highway",
-                 "road_name", "road_maxspeed", "road_geom")
+        ).select(points["cell"].alias("cell"),
+                 *[c for c in cols if c != "cell"])
 
     schema = T.StructType([
         T.StructField("way_id", T.StringType()),
@@ -170,22 +179,30 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
         T.StructField("road_name", T.StringType()),
         T.StructField("road_maxspeed", T.DoubleType()),
     ])
+    out_cols = [f.name for f in schema.fields]
 
     def refine(batches):
+        # every candidate row of one (road, cell) group shares the same
+        # clipped segment set — build the segment array ONCE per group and
+        # run the distance kernel vectorized over all of that group's
+        # points, instead of re-materializing the geometry row by row.
         for pdf in batches:
             if not len(pdf):
-                yield pd.DataFrame(columns=[f.name for f in schema.fields])
+                yield pd.DataFrame(columns=out_cols)
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for i, (x, y, geom) in enumerate(zip(pdf["x"], pdf["y"],
-                                                 pdf["road_geom"])):
-                coords = np.vstack([np.asarray(p, dtype=float) for p in geom])
-                d = point_to_polyline_dist(np.array([x]), np.array([y]),
-                                           coords)[0]
-                keep[i] = d <= C.SIDEPATH_BUFFER_SIZE_M
-            out = pdf.loc[keep, ["way_id", "pt_seq", "road_id", "road_highway",
-                                 "road_name", "road_maxspeed"]]
-            yield out
+            kept = []
+            for _, grp in pdf.groupby(["road_id", "cell"], sort=False):
+                segs = np.asarray(
+                    [np.asarray(s, dtype=float)
+                     for s in grp["road_geom"].iloc[0]])
+                d = points_to_segments_dist(
+                    grp["x"].to_numpy(dtype=float),
+                    grp["y"].to_numpy(dtype=float), segs)
+                hit = grp.loc[d <= C.SIDEPATH_BUFFER_SIZE_M, out_cols]
+                if len(hit):
+                    kept.append(hit)
+            yield (pd.concat(kept, ignore_index=True) if kept
+                   else pd.DataFrame(columns=out_cols))
 
     return joined.mapInPandas(refine, schema)
 

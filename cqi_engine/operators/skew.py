@@ -73,4 +73,7 @@ def salted_join(points: DataFrame, index: DataFrame, on_extra: list,
     ix = replicate_index(index, hot, cell_col)
     cond = [p[cell_col] == ix[cell_col], p["salt"] == ix["salt"], *[
         c(p, ix) for c in on_extra]]
-    return p.join(ix.hint("shuffle_hash"), on=cond, how="inner")
+    # drop the build-side copies of the join keys so `cell` stays an
+    # unambiguous (probe-side) column for downstream grouping
+    return (p.join(ix.hint("shuffle_hash"), on=cond, how="inner")
+            .drop(ix[cell_col]).drop(ix["salt"]))
