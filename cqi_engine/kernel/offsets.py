@@ -78,9 +78,43 @@ def offset_flags(df: pd.DataFrame) -> dict[tuple[str, str], pd.Series]:
     return flags
 
 
-def _make_side_rows(df: pd.DataFrame, typ: str, side: str) -> pd.DataFrame:
+def _offset_magnitude(df: pd.DataFrame, typ: str,
+                      offset_distance) -> pd.Series:
+    """Per-row offset distance (ref:cycling_quality_index.py:254-266).
+
+    'realistic': width/2 for cycleways, width/2 + 2 for sidewalks, where
+    width = getNumber(way.width) or the per-highway default
+    (ref:cycling_quality_index.py:278-279, parameter.py:29-50; Python
+    ``or`` => 0/None both fall back).  Numeric: the literal distance.
+    """
+    if offset_distance == "realistic":
+        width_num = get_number(_col(df, "width"))
+        hw_default = df["highway"].map(C.DEFAULT_HIGHWAY_WIDTH).fillna(
+            C.DEFAULT_HIGHWAY_WIDTH_FALLBACK)
+        base = width_num.where(width_num.notna() & (width_num != 0),
+                               hw_default).astype(float)
+        return base / 2 + (2.0 if typ == "sidewalk" else 0.0)
+    val = get_number(pd.Series([offset_distance], dtype=object)).iloc[0]
+    return pd.Series(0.0 if pd.isna(val) else float(val), index=df.index)
+
+
+def _make_side_rows(df: pd.DataFrame, typ: str, side: str,
+                    offset_distance=None) -> pd.DataFrame:
+    if offset_distance is None:
+        offset_distance = C.OFFSET_DISTANCE
     rows = df.copy()
-    rows["offset"] = 0.0 if C.OFFSET_DISTANCE == 0 else np.nan
+    off = _offset_magnitude(df, typ, offset_distance)
+    rows["offset"] = off.to_numpy()
+    if offset_distance != 0 and "geom_metric" in rows.columns:
+        # native:offsetline semantics: positive distance offsets LEFT of
+        # the line direction; right-side rows shift the other way.  The
+        # `offset` attribute keeps the unsigned magnitude (ref stores the
+        # positive offset_{type}_{side} value).
+        from ..geometry import offset_polyline
+        sign = 1.0 if side == "left" else -1.0
+        rows["geom_metric"] = [
+            offset_polyline(np.asarray(g, dtype=float), sign * o)
+            for g, o in zip(rows["geom_metric"], off)]
     rows["type"] = typ
     rows["side"] = side
     rows["proc_sidepath"] = "yes"
@@ -138,8 +172,13 @@ def _make_side_rows(df: pd.DataFrame, typ: str, side: str) -> pd.DataFrame:
     return rows
 
 
-def run_offset_stage(df: pd.DataFrame) -> pd.DataFrame:
+def run_offset_stage(df: pd.DataFrame,
+                     offset_distance=None) -> pd.DataFrame:
     """Emit centerline + synthesized side rows (union, ref:362-364,1593).
+
+    ``offset_distance`` defaults to config.OFFSET_DISTANCE (0, the golden
+    contract); pass 'realistic' or a number to exercise the data-defined
+    geometric offset (G2).
 
     The union is a hand-rolled per-column ``np.concatenate`` as object
     arrays: ``pd.concat`` on ~200 mixed object/float columns falls into a
@@ -150,7 +189,8 @@ def run_offset_stage(df: pd.DataFrame) -> pd.DataFrame:
     parts = [df]
     for (typ, side), mask in flags.items():
         if mask.any():
-            parts.append(_make_side_rows(df[mask], typ, side))
+            parts.append(_make_side_rows(df[mask], typ, side,
+                                         offset_distance))
     if len(parts) == 1:
         return df.reset_index(drop=True)
     cols: list[str] = list(df.columns)

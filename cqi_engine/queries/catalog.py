@@ -1054,14 +1054,37 @@ _sql_pair("media_meta", ("documents",), _media_meta,
 # ===========================================================================
 
 def _cqi_score_fn(spark, sf_dir: str):
+    """Graded flagship: the full distributed pipeline, projected onto the
+    deterministic (id, side, way_type, index, stress_level) columns and
+    checked against a fixture precomputed by the PANDAS reference path
+    (sources/webways.py flagship_expected; regenerate with
+    scripts/gen_flagship_fixture.py).  Agreement proves the Spark
+    composition — cell join, sidepath aggregation, writeback, batch
+    scoring — reproduces the golden-verified kernel independent of
+    partitioning.  The full 38-column output is `cqi_score_ways_full`."""
+    from ..sources.webways import FLAGSHIP_PROJECTION, score_documents
+    return score_documents(spark, sf_dir).select(*FLAGSHIP_PROJECTION)
+
+
+def _flagship_fixture_sql() -> str:
+    from ._flagship_fixture import FIXTURE_SQL
+    return FIXTURE_SQL
+
+
+def _cqi_score_full_fn(spark, sf_dir: str):
     from ..sources.webways import score_documents
     return score_documents(spark, sf_dir)
 
 
 _reg(Query("cqi_score_ways", ("documents",), fn=_cqi_score_fn,
+           duck_sql=_flagship_fixture_sql(),
            doc="Flagship: documents -> pages -> extraction -> distributed "
-               "spatial join -> full CQI scoring (SURVEY §2.8 R1-R18; "
-               "golden-verified kernel, non-SQL-expressible)"))
+               "spatial join -> full CQI scoring (SURVEY §2.8 R1-R18), "
+               "graded against the pandas-kernel fixture oracle"))
+
+_reg(Query("cqi_score_ways_full", ("documents",), fn=_cqi_score_full_fn,
+           doc="Flagship full output (all 38 scored columns; rows-only — "
+               "the projected twin cqi_score_ways carries the oracle)"))
 
 
 def _media_decode_fn(spark, sf_dir: str):

@@ -166,3 +166,60 @@ def score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import score_way_table
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return score_way_table(ways_from_documents(docs))
+
+
+FLAGSHIP_PROJECTION = ["id", "side", "way_type", "index", "stress_level"]
+
+
+def ways_pandas(sf_dir: str) -> pd.DataFrame:
+    """Single-process twin of :func:`ways_from_documents` (same synthesis,
+    same byte-identity round trip) for the pandas reference path."""
+    import duckdb
+
+    from ..geometry import lonlat_to_metric
+    from .pages import parse_way_text
+
+    doc_ids = [r[0] for r in duckdb.sql(
+        f"select doc_id from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()]
+    fixtures = fixture_way_records()
+    n_fix = len(fixtures)
+    tag_columns = list(active_tag_columns())
+    recs = []
+    for doc_id in doc_ids:
+        base_id, tags, coords = fixtures[int(doc_id) % n_fix]
+        clone = int(doc_id) // n_fix
+        wid = base_id if clone == 0 else f"{base_id}__d{clone}"
+        tags = dict(tags)
+        tags["id"] = wid
+        shifted = coords.copy()
+        shifted[:, 0] += 0.2 * clone
+        page = page_row(wid, tags, shifted.tolist())
+        rec = parse_way_text(page["text"])
+        if rec is None or rec.get("id") != wid:
+            raise ValueError(f"byte-identity round trip failed for {wid}")
+        row = {c: (None if rec.get(c) is None else str(rec.get(c)))
+               for c in tag_columns}
+        row["geom_lonlat"] = np.asarray(rec["geom_lonlat"], dtype=float)
+        recs.append(row)
+    ways = pd.DataFrame(recs)
+    ways["geom_metric"] = [
+        np.column_stack(lonlat_to_metric(g[:, 0], g[:, 1]))
+        for g in ways["geom_lonlat"]]
+    return ways
+
+
+def flagship_expected(sf_dir: str) -> pd.DataFrame:
+    """The flagship-oracle expectation: score `sf_dir`'s corpus through the
+    PANDAS kernel (the golden-verified single-process reference path —
+    kernel/pipeline.py + kernel/sidepath.py, no Spark, no shuffles) and
+    project the deterministic integral/string columns.
+
+    This is what the distributed plan is graded against: agreement proves
+    the Spark composition (cell join, sidepath aggregation, writeback,
+    batch scoring) reproduces the reference semantics, independent of
+    partitioning.
+    """
+    from ..kernel.pipeline import final_projection, score_ways
+    scored = final_projection(score_ways(ways_pandas(sf_dir)))
+    return scored[FLAGSHIP_PROJECTION].reset_index(drop=True)

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Regenerate the flagship-oracle fixture module.
+
+Runs the PANDAS reference path (cqi_engine.sources.webways.flagship_expected
+— the golden-verified kernel, no Spark) over the sf0.01 corpus and writes
+the (id, side, way_type, index, stress_level) projection as a static DuckDB
+VALUES literal into ``cqi_engine/queries/_flagship_fixture.py``.
+
+The committed module is pinned by
+tests/test_oracle_parity.py::test_flagship_fixture_fresh — if the kernel or
+the synthesis changes, regenerate with:
+
+    python scripts/gen_flagship_fixture.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cqi_engine.sources.webways import FLAGSHIP_PROJECTION, flagship_expected
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "cqi_engine", "queries", "_flagship_fixture.py")
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v):
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, (int,)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def main() -> None:
+    exp = flagship_expected(SF_DIR)
+    rows = []
+    for t in exp.itertuples(index=False):
+        rows.append("(" + ", ".join(_lit(v) for v in t) + ")")
+    cols = ", ".join(f'"{c}"' for c in FLAGSHIP_PROJECTION)
+    sql = ("select * from (values\n" + ",\n".join(rows)
+           + f"\n) as t({cols})")
+    body = (
+        '"""Flagship-oracle fixture (GENERATED — do not edit by hand).\n\n'
+        "Produced by scripts/gen_flagship_fixture.py from the PANDAS\n"
+        "reference path over /root/testdata/sf0.01; pinned fresh by\n"
+        "tests/test_oracle_parity.py::test_flagship_fixture_fresh.\n"
+        '"""\n\n'
+        f"N_ROWS = {len(exp)}\n\n"
+        f'FIXTURE_SQL = """{sql}"""\n'
+    )
+    with open(OUT, "w", encoding="utf-8") as fh:
+        fh.write(body)
+    print(f"wrote {OUT}: {len(exp)} rows")
+
+
+if __name__ == "__main__":
+    main()

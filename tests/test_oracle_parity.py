@@ -81,6 +81,24 @@ def test_rows_only_smoke(spark, name):
         pdf.sort_values(by=list(pdf.columns))  # driver-style canonicalize
 
 
+def test_flagship_fixture_fresh(duck):
+    """The committed flagship fixture must equal a fresh run of the pandas
+    reference path — the fixture cannot drift from the kernel silently."""
+    from cqi_engine.queries._flagship_fixture import FIXTURE_SQL, N_ROWS
+    from cqi_engine.sources.webways import flagship_expected
+
+    exp = flagship_expected(SF_DIR)
+    assert len(exp) == N_ROWS
+    fres = duck.sql(FIXTURE_SQL)
+    fcols = fres.columns
+    frows = fres.fetchall()
+    assert sorted(fcols) == sorted(exp.columns)
+    ekey = _table_key([tuple(t) for t in exp.itertuples(index=False)],
+                      list(exp.columns))
+    fkey = _table_key(frows, fcols)
+    assert ekey == fkey
+
+
 def test_ann_blocked_matches_oracle_query(spark):
     """The numpy scale path must agree with the expression-fold baseline."""
     base = run_query(spark, SF_DIR, CATALOG["ann_topk"]).collect()

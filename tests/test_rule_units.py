@@ -68,3 +68,65 @@ def test_maxspeed_normalization_unit():
     assert determine_maxspeed_value("50", "residential") == 50.0
     assert np.isnan(determine_maxspeed_value("abc", "residential"))
     assert np.isnan(determine_maxspeed_value("", "residential"))
+
+
+def test_realistic_offset_geometry():
+    """G2 non-zero offsets (ref:cycling_quality_index.py:254-312, dead in
+    the snapshot — parameter.py:15 pins offset_distance=0): 'realistic'
+    derives the distance from the way width (tag or per-highway default),
+    sidewalks add 2 m, and the side-row geometry shifts left (+) / right
+    (-) of the line direction via offset_polyline."""
+    import pandas as pd
+
+    from cqi_engine.kernel.offsets import run_offset_stage
+
+    line = np.array([[0.0, 0.0], [100.0, 0.0]])  # direction +x, left = +y
+    df = pd.DataFrame({
+        "id": ["w_cw", "w_sw"],
+        "highway": ["residential", "primary"],
+        "width": [None, "8"],
+        "cycleway:right": ["lane", None],
+        "sidewalk:bicycle": [None, "yes"],
+        "geom_metric": [line.copy(), line.copy()],
+    })
+
+    out = run_offset_stage(df, offset_distance="realistic")
+    base = out[out["id"] == "w_cw"]
+    cw_r = out[(out.get("type") == "cycleway") & (out["side"] == "right")]
+    sw_l = out[(out.get("type") == "sidewalk") & (out["side"] == "left")]
+    sw_r = out[(out.get("type") == "sidewalk") & (out["side"] == "right")]
+
+    # residential default width 11 -> cycleway offset 5.5; right => y-5.5
+    assert len(cw_r) == 1 and cw_r["offset"].iloc[0] == 5.5
+    g = np.asarray(cw_r["geom_metric"].iloc[0], dtype=float)
+    assert np.allclose(g[:, 1], -5.5) and np.allclose(g[:, 0], [0.0, 100.0])
+
+    # width tag 8 -> sidewalk offset 8/2 + 2 = 6; left +6 / right -6
+    assert sw_l["offset"].iloc[0] == 6.0 and sw_r["offset"].iloc[0] == 6.0
+    gl = np.asarray(sw_l["geom_metric"].iloc[0], dtype=float)
+    gr = np.asarray(sw_r["geom_metric"].iloc[0], dtype=float)
+    assert np.allclose(gl[:, 1], 6.0) and np.allclose(gr[:, 1], -6.0)
+
+    # centerline rows keep their geometry untouched
+    g0 = np.asarray(base.iloc[0]["geom_metric"], dtype=float)
+    assert np.allclose(g0, line)
+
+
+def test_zero_offset_contract_unchanged():
+    """The golden contract (offset_distance=0) emits offset=0.0 and keeps
+    side-row geometry identical to the parent."""
+    import pandas as pd
+
+    from cqi_engine.kernel.offsets import run_offset_stage
+
+    line = np.array([[0.0, 0.0], [50.0, 50.0]])
+    df = pd.DataFrame({
+        "id": ["w"], "highway": ["residential"], "width": [None],
+        "cycleway:both": ["track"], "geom_metric": [line.copy()],
+    })
+    out = run_offset_stage(df, offset_distance=0)
+    sides = out[out["side"].notna()] if "side" in out.columns else out[0:0]
+    assert len(sides) == 2
+    assert (sides["offset"] == 0.0).all()
+    for g in sides["geom_metric"]:
+        assert np.allclose(np.asarray(g, dtype=float), line)
