@@ -7,17 +7,23 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": 0.1, ...}
 
-Scaling-efficiency evidence (BASELINE.md north_rule surrogate: N vs 4N
-cores on the same input):
+Scaling-efficiency evidence (north_rule two-cluster-size surrogate) is a
+RECORDED artifact: scripts/run_scaling_protocol.py measures alternating
+min-of-N pairs (with a pure-CPU host-ceiling control) and writes
+SCALING.json; this harness embeds that file verbatim, stamped with its
+generation time — it does not re-measure per run.
 
-    SPARK_GRAFT_CPUS=8 python bench.py
-    SPARK_GRAFT_CPUS=32 python bench.py
+Per-query regression tracking: the latest BENCH_r*.json at the repo root
+(written by the round driver) is diffed against this run; queries slower
+than 1.5x their prior time are listed under "regressions".
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -26,23 +32,72 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cqi_engine.queries.catalog import CATALOG, run_query  # noqa: E402
 from cqi_engine.session import build_session, ship_package  # noqa: E402
 
-# headline set: flagship spatial+scoring pipeline, the shuffle-heavy joins,
-# the dedup/ANN scale paths, and two relational anchors.
+# headline set: flagship spatial+scoring pipeline, the shuffle-heavy joins
+# (scale paths, not brute-force baselines), the dedup/ANN scale paths, and
+# two relational anchors.
 HEADLINE = [
     "cqi_score_ways",
     "dwithin_join",
-    "knn_sites",
+    "knn_blocked",
     "point_in_polygon",
     "cell_agg",
     "dedup_minhash_lsh",
     "ngram_jaccard",
     "ann_topk_blocked",
+    "embed_neardup",
+    "embed_neardup_lsh",
     "dedup_simhash",
     "fingerprint",
+    "media_decode",
     "pricing_summary",
     "shipping_priority",
     "events_sessionize",
 ]
+
+
+def _prior_round_times() -> tuple[str | None, dict]:
+    """Latest BENCH_r*.json per-query seconds, if any."""
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, path)
+    if best is None:
+        return None, {}
+    try:
+        with open(best[1], encoding="utf-8") as fh:
+            rec = json.load(fh)
+        queries = (rec.get("parsed") or rec).get("queries") or {}
+        return os.path.basename(best[1]), dict(queries)
+    except (OSError, ValueError):
+        return None, {}
+
+
+def _scaling_artifact() -> dict | None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING.json")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            art = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    return {
+        "note": ("recorded measurement (scripts/run_scaling_protocol.py), "
+                 "not re-measured in this bench run"),
+        "generated_utc": art.get("generated_utc"),
+        "protocol": art.get("protocol"),
+        "pairs": [
+            {k: p.get(k) for k in
+             ("pair", "n_pages", "t_n_s", "t_4n_s", "speedup", "efficiency",
+              "efficiency_vs_host_ceiling", "estimator")}
+            | {"host_ceiling_efficiency":
+               (p.get("host_ceiling") or {}).get("ceiling_efficiency")}
+            for p in art.get("pairs", [])
+        ],
+    }
 
 
 def main() -> None:
@@ -72,6 +127,15 @@ def main() -> None:
         row_counts[name] = run_query(spark, sf_dir, CATALOG[name]).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    prior_name, prior = _prior_round_times()
+    regressions = {}
+    if prior:
+        for name, sec in timings.items():
+            p = prior.get(name)
+            if p and p > 0 and sec / p > 1.5:
+                regressions[name] = {"now_s": sec, "prior_s": p,
+                                     "ratio": round(sec / p, 2)}
+
     n_pages = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     cqi_sec = timings["cqi_score_ways"]
     out = {
@@ -85,15 +149,9 @@ def main() -> None:
         "pages_per_sec": round(n_pages / cqi_sec, 1) if cqi_sec else None,
         "way_scores_per_sec": (round(row_counts["cqi_score_ways"] / cqi_sec, 1)
                                if cqi_sec else None),
-        # recorded evidence from scripts/scaling_bench.py (see BASELINE.md
-        # for the full run table + variance/protocol disclosure)
-        "scaling_evidence": {
-            "pair": "local[1] vs local[4], 500k pages, same input",
-            "t_n_s": 227.2, "t_4n_s": 55.4,
-            "efficiency_min_based": 1.02,
-            "efficiency_mean_of_pairs": 0.95,
-            "source": "BASELINE.md / scripts/scaling_bench.py",
-        },
+        "prior_round": prior_name,
+        "regressions_gt_1.5x": regressions,
+        "scaling_evidence": _scaling_artifact(),
     }
     print(json.dumps(out))
     spark.stop()

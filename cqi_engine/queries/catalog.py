@@ -1049,6 +1049,30 @@ _sql_pair("media_meta", ("documents",), _media_meta,
           "Opaque-binary metadata extraction (multimodal column plumbing)")
 
 
+def _style_classes(d: str) -> str:
+    # S5 QML graduated style: classify a deterministic 0..100 index
+    # surrogate through the reference renderer's class table
+    # (ref:styles/index.qml; sources/qml_style.py) and roll up per class.
+    from ..sources.qml_style import (INDEX_STYLE_RANGES, hex_color,
+                                     style_expr_sql)
+    sym = style_expr_sql("(c_custkey % 101)")
+    color_case = ("case style_symbol " + " ".join(
+        f"when {s} then '{hex_color(c)}'"
+        for _lo, _up, s, _lbl, c in INDEX_STYLE_RANGES) + " end")
+    return f"""
+select cast(style_symbol as bigint) as style_symbol,
+       {color_case} as style_color,
+       cast(count(*) as bigint) as n
+from (select ({sym}) as style_symbol from customer) t
+group by style_symbol
+"""
+
+
+_sql_pair("style_classes", ("customer",), _style_classes,
+          "S5 QML graduated-style classification (reference color ramp as "
+          "a CASE chain) + per-class rollup")
+
+
 # ===========================================================================
 # 8. Non-SQL-expressible operators (driver does rows-only checks)
 # ===========================================================================

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Full scaling-evidence protocol -> SCALING.json (recorded artifact).
+
+Runs scripts/scaling_bench.py in alternating subprocesses (each parallelism
+level gets its own JVM), takes the per-config minimum over ``--reps`` runs
+(this VM shows bursty host CPU steal; min-of-N is the documented estimator),
+and measures a pure-CPU multiprocessing control to establish the host's own
+scaling ceiling for each pair.  Output: one SCALING.json at the repo root,
+which bench.py embeds (clearly stamped as a recorded prior measurement, not
+a live per-run number — a live pair would double every bench run's cost and
+still measure the same host).
+
+Protocol (default): pairs 1->4 (500k pages) and 8->32 (1M pages), min of 3.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(ROOT, "scripts", "scaling_bench.py")
+
+
+def run_once(cpus: int, replicate: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_REPLICATE=str(replicate))
+    out = subprocess.run([sys.executable, BENCH], env=env, check=True,
+                         capture_output=True, text=True, timeout=1800)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith('{"harness"')][-1]
+    return json.loads(line)
+
+
+def _spin(args) -> float:
+    # fixed-size integer workload per task; returns wall seconds
+    n, = args
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + 12345) & 0x7FFFFFFF
+    return acc
+
+
+def host_control(pair: tuple[int, int], tasks: int = 64,
+                 n: int = 4_000_000) -> dict:
+    """Pure-CPU multiprocessing speedup for the same worker counts —
+    the ceiling this host imposes independent of Spark."""
+    res = {}
+    for w in pair:
+        t0 = time.perf_counter()
+        with mp.Pool(w) as pool:
+            pool.map(_spin, [(n,)] * tasks)
+        res[w] = time.perf_counter() - t0
+    lo, hi = pair
+    speedup = res[lo] / res[hi]
+    return {"pair": f"{lo}->{hi}", "t_lo_s": round(res[lo], 2),
+            "t_hi_s": round(res[hi], 2), "speedup": round(speedup, 2),
+            "ceiling_efficiency": round(speedup / (hi / lo), 3),
+            "workload": f"{tasks} tasks x {n} int ops, mp.Pool"}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--pairs", default="1:4:100,8:32:200",
+                    help="comma list of lo:hi:replicate")
+    args = ap.parse_args()
+
+    pairs = []
+    for spec in args.pairs.split(","):
+        lo, hi, rep = (int(x) for x in spec.split(":"))
+        pairs.append((lo, hi, rep))
+
+    runs = []
+    results = {}
+    for lo, hi, rep in pairs:
+        for r in range(args.reps):
+            for cpus in (lo, hi):  # alternating: steal bursts hit both
+                rec = run_once(cpus, rep)
+                rec["rep_idx"] = r
+                runs.append(rec)
+                key = (cpus, rep)
+                results.setdefault(key, []).append(rec["wall_s"])
+                print(f"run local[{cpus}] R={rep} rep{r}: "
+                      f"{rec['wall_s']}s", flush=True)
+
+    pair_summaries = []
+    for lo, hi, rep in pairs:
+        t_lo = min(results[(lo, rep)])
+        t_hi = min(results[(hi, rep)])
+        speedup = t_lo / t_hi
+        ctrl = host_control((lo, hi))
+        eff = speedup / (hi / lo)
+        pair_summaries.append({
+            "pair": f"local[{lo}] -> local[{hi}]",
+            "replicate": rep,
+            "n_pages": rep * 5000,
+            "t_n_s": t_lo, "t_4n_s": t_hi,
+            "speedup": round(speedup, 2),
+            "efficiency": round(eff, 3),
+            "host_ceiling": ctrl,
+            "efficiency_vs_host_ceiling": round(
+                eff / ctrl["ceiling_efficiency"], 3)
+            if ctrl["ceiling_efficiency"] else None,
+            "estimator": f"min of {args.reps} alternating runs per config",
+        })
+        print(f"pair local[{lo}]->local[{hi}]: eff={eff:.3f} "
+              f"(host ceiling {ctrl['ceiling_efficiency']})", flush=True)
+
+    artifact = {
+        "generated_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "protocol": ("alternating min-of-%d per parallelism level, same "
+                     "replicated sf0.1 input per pair; pure-CPU mp.Pool "
+                     "control per pair for the host ceiling" % args.reps),
+        "pairs": pair_summaries,
+        "runs": runs,
+    }
+    out = os.path.join(ROOT, "SCALING.json")
+    with open(out, "w", encoding="utf-8") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

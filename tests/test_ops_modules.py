@@ -445,3 +445,55 @@ def test_merge_way_files_dedupes_geometries(spark, tmp_path):
     assert merged.count() == 138  # duplicates across files collapsed
     ids = [r["id"] for r in merged.select("id").collect()]
     assert len(set(ids)) == 138
+
+
+# ------------------------------------------------------ S5 QML style sink ----
+def test_style_table_matches_reference_qml():
+    """INDEX_STYLE_RANGES must equal the reference renderer verbatim —
+    parse /root/reference/styles/index.qml and compare class bounds,
+    symbols, labels, and line colors."""
+    import re
+
+    from cqi_engine.sources.qml_style import INDEX_STYLE_RANGES
+
+    xml = open("/root/reference/styles/index.qml", encoding="utf-8").read()
+    block = re.search(r"<renderer-v2 .*?</renderer-v2>", xml, re.S).group(0)
+    ranges = [
+        (float(m.group(1)), float(m.group(2)), int(m.group(3)), m.group(4))
+        for m in re.finditer(
+            r'<range lower="([\d.]+)" upper="([\d.]+)" symbol="(\d+)" '
+            r'render="true" label="([^"]+)"', block)]
+    sym_colors = {}
+    for m in re.finditer(
+            r'<symbol name="(\d+)".*?line_color" type="QString" '
+            r'value="([\d,]+)"', block, re.S):
+        sym_colors.setdefault(int(m.group(1)), tuple(
+            int(x) for x in m.group(2).split(",")))
+    assert len(ranges) == len(INDEX_STYLE_RANGES) == 11
+    for (lo, up, sym, lbl, rgba), (rlo, rup, rsym, rlbl) in zip(
+            INDEX_STYLE_RANGES, ranges):
+        assert (lo, up, sym, lbl) == (rlo, rup, rsym, rlbl)
+        assert rgba == sym_colors[sym], sym
+
+
+def test_style_layer_and_qml_roundtrip(spark, tmp_path):
+    from cqi_engine.sources.qml_style import style_layer, write_qml
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 10), ("c", 46), ("d", 95), ("e", 100), ("f", None)],
+        "id string, index int")
+    rows = {r["id"]: r for r in style_layer(df).collect()}
+    assert rows["a"]["style_symbol"] == 0          # first range keeps lower
+    assert rows["b"]["style_symbol"] == 0          # 10 -> first match 0-10
+    assert rows["c"]["style_symbol"] == 4
+    assert rows["c"]["style_color"] == "#f3cf33"
+    assert rows["d"]["style_symbol"] == 9
+    assert rows["e"]["style_symbol"] == 9          # 100 -> 90-100 first
+    assert rows["f"]["style_symbol"] is None
+    assert rows["c"]["style_label"] == "40 - 50"
+
+    out = tmp_path / "index.qml"
+    write_qml(str(out))
+    text = out.read_text(encoding="utf-8")
+    assert 'attr="index"' in text and "122,4,3,255" in text
+    assert text.count("<range ") == 11
