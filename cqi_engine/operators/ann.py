@@ -28,11 +28,19 @@ _TOPK_SCHEMA = T.StructType([
 ])
 
 
-def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5) -> DataFrame:
+def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
+                     slack: int = 3) -> DataFrame:
     """Exact top-k by cosine, computed the scale-path way.
 
-    Rounding to 6 decimals before ranking matches the `ann_topk` oracle's
-    tie-breaking exactly (rank by rounded sim desc, cand_id asc).
+    Two levels: each candidate partition keeps its own top (k + slack) per
+    query (numpy matmul, O(batches * k) rows shuffled instead of O(N)),
+    then the merged candidate set is re-scored with the exact Catalyst
+    cosine fold and ranked by (round(cos, 6) desc, cand_id asc) — the same
+    total order as the `ann_topk` oracle, evaluated by the same arithmetic,
+    so results are bit-identical.  ``slack`` + a 1e-6 margin below the
+    per-batch cut protect the selection against last-ulp disagreement
+    between the matmul and the fold: the global top-k under the exact
+    order is always contained in the union of per-batch top-(k+slack).
     """
     spark = emb.sparkSession
     qrows = (emb.filter(F.col("vec_id") < n_queries)
@@ -40,7 +48,7 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5) -> DataFra
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, k))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, k + slack))
 
     def probe(batches):
         ids, mat, normq, kk = bc.value
@@ -63,11 +71,26 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5) -> DataFra
                 out["cosine"].extend(row[sel])
             yield pd.DataFrame(out)
 
-    local_topk = emb.select("vec_id", "embedding").mapInPandas(
-        probe, _TOPK_SCHEMA)
+    cand = (emb.select("vec_id", "embedding").mapInPandas(probe, _TOPK_SCHEMA)
+            .select("query_id", "cand_id"))
+
+    # exact re-score of the merged candidates with the oracle's own fold
+    dot = ("aggregate(zip_with(q.embedding, c.embedding, (x, y) -> "
+           "cast(x as double) * cast(y as double)), cast(0 as double), "
+           "(acc, v) -> acc + v)")
+    nrm = ("sqrt(aggregate(transform({0}.embedding, x -> cast(x as double) "
+           "* cast(x as double)), cast(0 as double), (acc, v) -> acc + v))")
+    cos = f"({dot} / ({nrm.format('q')} * {nrm.format('c')}))"
+    q = emb.alias("q")
+    c = emb.alias("c")
+    scored = (cand
+              .join(q, cand["query_id"] == F.col("q.vec_id"))
+              .join(c, cand["cand_id"] == F.col("c.vec_id"))
+              .selectExpr("query_id", "cand_id",
+                          f"cast(round({cos}, 6) as double) as cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id"))
-    return (local_topk.withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "cand_id", "cosine",
                     F.col("rank").cast("long").alias("rank")))

@@ -77,20 +77,27 @@ def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
 
     def refine(batches):
         # one geometry build + one vectorized distance call per road in
-        # the batch (all candidate points of that road at once), not one
-        # per candidate row
+        # the batch (all candidate points of that road at once); grouping
+        # via factorize + stable argsort (positional numpy slices), not
+        # pandas groupby iteration — sub-frame construction per group is
+        # the measured hot spot at scale
         for pdf in batches:
             if not len(pdf):
                 continue
+            codes, _u = pd.factorize(pdf["road_id"], sort=False)
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            ends = np.r_[starts[1:], len(sc)]
+            px = pdf["x"].to_numpy(dtype=float)
+            py = pdf["y"].to_numpy(dtype=float)
+            geom = pdf["road_geom"].to_numpy(dtype=object)
             dists = np.empty(len(pdf))
-            pos = pd.RangeIndex(len(pdf))
-            pdf = pdf.set_index(pos)
-            for _, grp in pdf.groupby("road_id", sort=False):
+            for s, e in zip(starts, ends):
+                idx = order[s:e]
                 coords = np.vstack([np.asarray(p, dtype=float)
-                                    for p in grp["road_geom"].iloc[0]])
-                dists[grp.index.to_numpy()] = point_to_polyline_dist(
-                    grp["x"].to_numpy(dtype=float),
-                    grp["y"].to_numpy(dtype=float), coords)
+                                    for p in geom[idx[0]]])
+                dists[idx] = point_to_polyline_dist(px[idx], py[idx], coords)
             yield pd.DataFrame({
                 "pt_id": pdf["pt_id"], "ring": pdf["ring"],
                 "road_id": pdf["road_id"], "dist": np.round(dists, 6),

@@ -1124,8 +1124,9 @@ def _ann_topk_blocked_fn(spark, sf_dir: str):
 
 
 _reg(Query("ann_topk_blocked", ("embeddings",), fn=_ann_topk_blocked_fn,
-           doc="Scale-path ANN: numpy-blocked matmul inside mapInPandas; "
-               "pytest asserts agreement with the ann_topk oracle query"))
+           duck_sql=_ann_topk(DUCK),
+           doc="Scale-path ANN: per-batch numpy top-(k+slack) candidates + "
+               "exact-fold re-rank, graded against the brute-force oracle"))
 
 
 def _tile_pyramid(d: str) -> str:
