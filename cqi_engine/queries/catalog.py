@@ -664,13 +664,17 @@ where {jac} >= 0.9
 
 
 def _minhash_spark_staged() -> str:
-    """Spark-side plan: tokenize/hash ONCE per doc in a CTE, then derive
-    the 16 minhashes and 4 band keys from the materialized hash array —
-    the naive dual-dialect template re-tokenizes per permutation and per
-    band (16x the string work).  The DuckDB oracle keeps the naive form;
+    """Spark-side plan: tokenize ONCE per doc in a CTE (distinct-token
+    array + its polyhash array materialized), then derive the 16 minhashes
+    and 4 band keys from the hash array, and evaluate the exact-Jaccard
+    verify against the PRE-TOKENIZED arrays — the naive dual-dialect
+    template re-tokenizes per permutation, per band, and twice per
+    candidate pair (the pair-side re-tokenization alone is ~2x the query
+    on a duplicate-heavy corpus).  The DuckDB oracle keeps the naive form;
     the arithmetic is identical so results match exactly."""
     d = SPARK
-    ths = D.token_hashes("text", d)
+    toks = D.tokens_distinct("text", d)
+    ths = D.lmap("toks", f"t -> {D.polyhash('t', d)}", d)
     m = D.MINHASH_PRIME
     sig_cols = ", ".join(
         f"array_min(transform(ths, h -> ({a}L * (h % {m}L) + {b}L) % {m}L)) "
@@ -686,10 +690,12 @@ def _minhash_spark_staged() -> str:
         band_selects.append(
             f"select doc_id, {band} as band_idx, cast({expr} as bigint) as band_key from sigs")
     bands = " union all ".join(band_selects)
-    jac = _jaccard_expr(d, "da.text", "db.text")
+    inter = "size(array_intersect(da.toks, db.toks))"
+    union = "size(array_union(da.toks, db.toks))"
+    jac = f"(cast({inter} as double) / {union})"
     return f"""
-with th as (select doc_id, text, {ths} as ths from documents),
-sigs as (select doc_id, {sig_cols} from th),
+with th as (select doc_id, {toks} as toks from documents),
+sigs as (select doc_id, {sig_cols} from (select doc_id, {ths} as ths from th) x),
 bands as ({bands}),
 cand as (
   select distinct a.doc_id as doc_a, b.doc_id as doc_b
@@ -700,8 +706,8 @@ cand as (
 select c.doc_a, c.doc_b,
        cast(round({jac}, 6) as double) as jaccard
 from cand c
-join documents da on da.doc_id = c.doc_a
-join documents db on db.doc_id = c.doc_b
+join th da on da.doc_id = c.doc_a
+join th db on db.doc_id = c.doc_b
 where {jac} >= 0.9
 """
 

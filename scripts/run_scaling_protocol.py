@@ -47,22 +47,46 @@ def _spin(args) -> float:
     return acc
 
 
-def host_control(pair: tuple[int, int], tasks: int = 64,
-                 n: int = 4_000_000) -> dict:
-    """Pure-CPU multiprocessing speedup for the same worker counts —
-    the ceiling this host imposes independent of Spark."""
-    res = {}
-    for w in pair:
-        t0 = time.perf_counter()
-        with mp.Pool(w) as pool:
-            pool.map(_spin, [(n,)] * tasks)
-        res[w] = time.perf_counter() - t0
+def _stream(args) -> float:
+    # memory-bandwidth-bound workload: repeated large-array traversals
+    # (the engine's Arrow/shuffle stages are bandwidth-bound, which the
+    # L1-resident int-spin control cannot see)
+    import numpy as np
+    n, reps = args
+    a = np.arange(n, dtype=np.float64)
+    s = 0.0
+    for _ in range(reps):
+        s += float((a * 1.0000001).sum())
+    return s
+
+
+def _pool_time(fn, w: int, tasks: int, payload) -> float:
+    t0 = time.perf_counter()
+    with mp.Pool(w) as pool:
+        pool.map(fn, [payload] * tasks)
+    return time.perf_counter() - t0
+
+
+def host_control(pair: tuple[int, int], tasks: int = 64) -> dict:
+    """Host scaling ceilings for the same worker counts, independent of
+    Spark: a pure-CPU (L1-resident) control and a memory-bandwidth-bound
+    control.  A bandwidth-bound engine stage can legitimately scale no
+    better than the bandwidth control on a single box."""
     lo, hi = pair
-    speedup = res[lo] / res[hi]
-    return {"pair": f"{lo}->{hi}", "t_lo_s": round(res[lo], 2),
-            "t_hi_s": round(res[hi], 2), "speedup": round(speedup, 2),
-            "ceiling_efficiency": round(speedup / (hi / lo), 3),
-            "workload": f"{tasks} tasks x {n} int ops, mp.Pool"}
+    out = {"pair": f"{lo}->{hi}"}
+    for name, fn, payload in (
+            ("cpu", _spin, (4_000_000,)),
+            ("membw", _stream, (8_000_000, 6))):
+        t_lo = _pool_time(fn, lo, tasks, payload)
+        t_hi = _pool_time(fn, hi, tasks, payload)
+        speedup = t_lo / t_hi
+        out[name] = {"t_lo_s": round(t_lo, 2), "t_hi_s": round(t_hi, 2),
+                     "speedup": round(speedup, 2),
+                     "ceiling_efficiency": round(speedup / (hi / lo), 3)}
+    out["ceiling_efficiency"] = out["cpu"]["ceiling_efficiency"]
+    out["workload"] = (f"{tasks} tasks; cpu: 4e6 int ops (L1); "
+                       f"membw: 6 x 64MB array traversals")
+    return out
 
 
 def main() -> None:
@@ -113,16 +137,27 @@ def main() -> None:
         print(f"pair local[{lo}]->local[{hi}]: eff={eff:.3f} "
               f"(host ceiling {ctrl['ceiling_efficiency']})", flush=True)
 
+    out = os.path.join(ROOT, "SCALING.json")
+    # merge: keep previously recorded pairs not re-measured in this run
+    prior_pairs = []
+    try:
+        with open(out, encoding="utf-8") as fh:
+            prior = json.load(fh)
+        measured = {p["pair"] for p in pair_summaries}
+        prior_pairs = [p for p in prior.get("pairs", [])
+                       if p["pair"] not in measured]
+    except (OSError, ValueError):
+        pass
     artifact = {
         "generated_utc": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),
         "protocol": ("alternating min-of-%d per parallelism level, same "
-                     "replicated sf0.1 input per pair; pure-CPU mp.Pool "
-                     "control per pair for the host ceiling" % args.reps),
-        "pairs": pair_summaries,
+                     "replicated sf0.1 input per pair; pure-CPU + "
+                     "memory-bandwidth mp.Pool controls per pair for the "
+                     "host ceilings" % args.reps),
+        "pairs": prior_pairs + pair_summaries,
         "runs": runs,
     }
-    out = os.path.join(ROOT, "SCALING.json")
     with open(out, "w", encoding="utf-8") as fh:
         json.dump(artifact, fh, indent=1)
     print(f"wrote {out}")
