@@ -36,13 +36,16 @@ _FILTER_WAY_TYPE = {
 
 
 def _post_sidepath_stages(df: pd.DataFrame,
-                          project: bool = True) -> pd.DataFrame:
+                          project: bool = True,
+                          offset_distance=None) -> pd.DataFrame:
     """Stages 2-5: offset explode, deletes, way type, rules, scoring.
 
     Entirely row-local — safe per Arrow batch under mapInPandas.
+    ``offset_distance`` defaults to config.OFFSET_DISTANCE (0, the golden
+    contract); 'realistic'/numeric activates G2 data-defined offsets.
     """
     df = rules.ensure_attributes(df.copy())
-    df = run_offset_stage(df)
+    df = run_offset_stage(df, offset_distance)
     df = df[~rules.delete_mask(df)].reset_index(drop=True)
     df["way_type"] = rules.classify_way_type(df)
 

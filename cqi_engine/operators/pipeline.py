@@ -365,9 +365,12 @@ def _output_spark_schema() -> T.StructType:
 OUTPUT_SCHEMA = _output_spark_schema()
 
 
-def score_batches(ways_with_sidepath: DataFrame) -> DataFrame:
+def score_batches(ways_with_sidepath: DataFrame,
+                  offset_distance=None) -> DataFrame:
     """Offset explode + deletes + way type + rules + score per Arrow batch —
-    zero shuffles; reuses the golden-verified kernel."""
+    zero shuffles; reuses the golden-verified kernel.  ``offset_distance``
+    flows to the G2 offset stage (None = config default = 0, the golden
+    contract; 'realistic'/numeric = data-defined offsets)."""
     from ..kernel.pipeline import _post_sidepath_stages  # local to avoid cycle
 
     int_cols = [f.name for f in OUTPUT_SCHEMA.fields
@@ -377,7 +380,7 @@ def score_batches(ways_with_sidepath: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = _post_sidepath_stages(pdf)
+            out = _post_sidepath_stages(pdf, offset_distance=offset_distance)
             for c in int_cols:
                 out[c] = pd.array(out[c], dtype="Int32")
             yield out
@@ -400,7 +403,8 @@ def score_pages(pages: DataFrame,
 
 
 def score_way_table(ways: DataFrame,
-                    salt_threshold: float | None = None) -> DataFrame:
+                    salt_threshold: float | None = None,
+                    offset_distance=None) -> DataFrame:
     """Persist posture: `ways` feeds three consumers (paths, roads, final
     writeback join) and `points`/`pairs` feed the multi-family aggregation —
     without persist the whole upstream (page synthesis -> extraction) would
@@ -415,4 +419,4 @@ def score_way_table(ways: DataFrame,
     pairs = dwithin_pairs(points, rcells, salt_threshold).persist()
     agg = sidepath_aggregates(points, pairs)
     enriched = apply_sidepath_spark(ways, agg)
-    return score_batches(enriched)
+    return score_batches(enriched, offset_distance=offset_distance)

@@ -886,6 +886,44 @@ _sql_pair("embed_neardup_lsh", ("embeddings",), _embed_neardup_lsh,
           "equi-join candidates -> exact cosine verify")
 
 
+def _embed_neardup_ivf(d: str) -> str:
+    # IVF-list candidate generation (the other sub-quadratic path): pairs
+    # sharing a coarse-centroid inverted list, exact-verified.  Same
+    # recall-bounded-by-design semantics as the LSH variant — probing one
+    # list trades recall for a corpus-fraction candidate volume.
+    cos = (f"({_dot64(d, 'e.embedding', 'c.embedding')} / "
+           f"({_norm(d, 'e.embedding')} * {_norm(d, 'c.embedding')}))")
+    pcos = (f"({_dot64(d, 'ea.embedding', 'eb.embedding')} / "
+            f"({_norm(d, 'ea.embedding')} * {_norm(d, 'eb.embedding')}))")
+    return f"""
+with assign as (
+  select e_vec_id as vec_id, centroid
+  from (
+    select e.vec_id as e_vec_id, c.vec_id as centroid,
+           row_number() over (partition by e.vec_id
+                              order by round({cos}, 6) desc, c.vec_id asc) as rn
+    from embeddings e cross join embeddings c
+    where c.vec_id < 8
+  ) t where rn = 1
+),
+cand as (
+  select a.vec_id as vec_a, b.vec_id as vec_b
+  from assign a join assign b
+    on a.centroid = b.centroid and a.vec_id < b.vec_id
+)
+select c.vec_a, c.vec_b, cast(round({pcos}, 6) as double) as cosine
+from cand c
+join embeddings ea on ea.vec_id = c.vec_a
+join embeddings eb on eb.vec_id = c.vec_b
+where {pcos} >= {_NEARDUP_THRESHOLD}
+"""
+
+
+_sql_pair("embed_neardup_ivf", ("embeddings",), _embed_neardup_ivf,
+          "IVF-list near-dup: coarse-centroid inverted lists -> in-list "
+          "candidate pairs -> exact cosine verify")
+
+
 def _ann_topk(d: str) -> str:
     cos = (f"({_dot64(d, 'q.embedding', 'c.embedding')} / "
            f"({_norm(d, 'q.embedding')} * {_norm(d, 'c.embedding')}))")

@@ -497,3 +497,32 @@ def test_style_layer_and_qml_roundtrip(spark, tmp_path):
     text = out.read_text(encoding="utf-8")
     assert 'attr="index"' in text and "122,4,3,255" in text
     assert text.count("<range ") == 11
+
+
+def test_realistic_offsets_through_spark_pipeline(spark):
+    """G2 end-to-end distributed: score_way_table(offset_distance=
+    'realistic') must emit side rows whose `offset` column carries the
+    width-derived distance (width/2 for cycleways, +2 m for sidewalks)."""
+    from cqi_engine.operators.pipeline import score_way_table
+
+    base = ("id string, highway string, width string, "
+            "`cycleway:right` string, `sidewalk:bicycle` string, "
+            "layer string, name string, maxspeed string, footway string, "
+            "is_sidepath string, `is_sidepath:of` string, "
+            "geom_lonlat array<array<double>>")
+    ways = spark.createDataFrame(
+        [("w1", "residential", None, "lane", None, None, None, None,
+          None, None, None, [[13.4, 52.5], [13.401, 52.5]]),
+         ("w2", "primary", "8", None, "yes", None, None, None,
+          None, None, None, [[13.41, 52.5], [13.411, 52.5]])],
+        base)
+    out = score_way_table(ways, offset_distance="realistic") \
+        .select("id", "side", "offset").collect()
+    got = {(r["id"], r["side"]): r["offset"] for r in out}
+    # residential default width 11 -> cycleway offset 5.5 (right side row)
+    assert got[("w1", "right")] == 5.5
+    # width=8 -> sidewalk offset 8/2 + 2 = 6 on both sides
+    assert got[("w2", "left")] == 6.0 and got[("w2", "right")] == 6.0
+    # centerline rows have no offset attribute (golden contract: only
+    # synthesized side rows carry one)
+    assert got[("w1", None)] is None and got[("w2", None)] is None
