@@ -730,10 +730,8 @@ _sql_pair("dedup_simhash", ("documents",), _dedup_simhash,
           "16-bit SimHash fingerprint per document")
 
 
-def _ngram_jaccard(d: str) -> str:
-    # word-bigram shingle Jaccard via explode + equi-join + agg (scalable
-    # shape: no cross join on the Spark side at scale — the join is on the
-    # shingle hash). Both sides here share the same SQL shape.
+def _dgrams_expr(d: str) -> str:
+    """Distinct word-bigram shingles of `text` (shared by both ngram plans)."""
     toks = D.split_ws("text", d)
     n = D.lsize(toks, d)
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]; generate
@@ -743,8 +741,16 @@ def _ngram_jaccard(d: str) -> str:
     grams = D.lmap(idx,
                    f"i -> {D.at(toks, 'i', d)} || '_' || {D.at(toks, 'i + 1', d)}",
                    d)
-    dgrams = (f"array_distinct({grams})" if d == SPARK
-              else f"list_distinct({grams})")
+    return (f"array_distinct({grams})" if d == SPARK
+            else f"list_distinct({grams})")
+
+
+def _ngram_jaccard(d: str) -> str:
+    # word-bigram shingle Jaccard via explode + equi-join + agg.  This is
+    # the DuckDB oracle form (and the Spark fallback for unbounded
+    # vocabularies); the graded Spark plan is the vocabulary-broadcast
+    # incidence GEMM in _ngram_jaccard_fn.
+    dgrams = _dgrams_expr(d)
     explode = (f"select doc_id, explode({dgrams}) as g from documents"
                if d == SPARK else
                f"select doc_id, unnest({dgrams}) as g from documents")
@@ -766,8 +772,51 @@ where cast(s.inter as double) / (sa.sz + sb.sz - s.inter) >= 0.08
 """
 
 
-_sql_pair("ngram_jaccard", ("documents",), _ngram_jaccard,
-          "Word-bigram shingle Jaccard near-dup via explode/equi-join/agg")
+_NGRAM_THRESHOLD = 0.08
+
+
+def _ngram_jaccard_fn(spark, sf_dir: str):
+    """Scale path: all-pairs shingle Jaccard as a vocabulary-broadcast
+    incidence GEMM (operators/ngram.py) — one tokenization pass, tiny
+    tile equi-joins, one float32 matmul per tile — instead of the
+    explode-join whose intermediate is quadratic in per-shingle document
+    frequency.  The GEMM emits exact integer (inter, union); the final
+    threshold + rounding run through the oracle's own SQL expression, so
+    output is bit-identical.  Falls back to the explode-join plan when
+    the shingle vocabulary exceeds the dense-row bound."""
+    from ..operators.ngram import shingle_pairs_gemm
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # staged tokenization: materialize the token array FIRST — the shared
+    # dual-dialect template inlines split(text) inside each shingle
+    # lambda (O(tokens^2) string work per doc, the price of keeping the
+    # oracle arithmetic identical); the Spark-only plan stages it.
+    toks = D.split_ws("text", SPARK)
+    n = "size(toks)"
+    idx = (f"filter(sequence(1, greatest(({n}) - 1, 1)), "
+           f"i -> i <= ({n}) - 1)")
+    grams_from_toks = (
+        f"array_distinct(transform({idx}, i -> "
+        f"element_at(toks, cast(i as int)) || '_' || "
+        f"element_at(toks, cast(i + 1 as int))))")
+    grams = (docs.selectExpr("doc_id", f"{toks} as toks")
+             .selectExpr("doc_id", f"{grams_from_toks} as grams"))
+    pairs = shingle_pairs_gemm(grams, _NGRAM_THRESHOLD)
+    if pairs is None:  # vocabulary too large for dense incidence rows
+        docs.createOrReplaceTempView("documents")
+        return spark.sql(_ngram_jaccard(SPARK))
+    return (pairs
+            .where(f"cast(inter as double) / union >= {_NGRAM_THRESHOLD}")
+            .selectExpr(
+                "doc_a", "doc_b",
+                "cast(round(cast(inter as double) / union, 6) as double) "
+                "as jaccard"))
+
+
+_reg(Query("ngram_jaccard", ("documents",),
+           fn=_ngram_jaccard_fn, spark_sql=_ngram_jaccard(SPARK),
+           duck_sql=_ngram_jaccard(DUCK),
+           doc="Word-bigram shingle Jaccard near-dup: incidence-GEMM scale "
+               "plan (explode/equi-join fallback + oracle)"))
 
 
 # ===========================================================================
