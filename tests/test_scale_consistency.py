@@ -51,3 +51,43 @@ def test_output_identical_across_parallelism(tmp_path):
     assert set(a) == set(b)
     diff = [k for k in a if a[k] != b[k]]
     assert not diff, f"{len(diff)} rows differ across parallelism: {diff[:5]}"
+
+
+_CATALOG_RUNNER = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from cqi_engine.session import build_session, ship_package
+from cqi_engine.queries.catalog import CATALOG, run_query
+
+master, out = sys.argv[1], sys.argv[2]
+spark = build_session("consistency-cat", master=master, shuffle_partitions=5)
+spark.sparkContext.setLogLevel("ERROR")
+ship_package(spark)
+res = {}
+for name in ("knn_blocked", "embed_neardup", "ngram_jaccard"):
+    rows = run_query(spark, "/root/testdata/sf0.001", CATALOG[name]).collect()
+    res[name] = sorted(sorted((k, str(v)) for k, v in r.asDict().items())
+                       for r in rows)
+with open(out, "w") as fh:
+    json.dump(res, fh, sort_keys=True)
+spark.stop()
+"""
+
+
+def _catalog_rows(master: str, out_path: str) -> dict:
+    subprocess.run([sys.executable, "-c", _CATALOG_RUNNER, master, out_path],
+                   check=True, timeout=600,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def test_scale_paths_identical_across_parallelism(tmp_path):
+    """The round-2 scale-path operators (bounded-ring kNN, tiled-GEMM
+    near-dup, incidence-GEMM shingle Jaccard) must be partitioning-
+    independent: identical results at local[2] and local[8]."""
+    a = _catalog_rows("local[2]", str(tmp_path / "a.json"))
+    b = _catalog_rows("local[8]", str(tmp_path / "b.json"))
+    for name in a:
+        assert a[name] == b[name], f"{name} differs across parallelism"
+        assert len(a[name]) > 0, f"{name} returned no rows"
