@@ -712,11 +712,78 @@ where {jac} >= 0.9
 """
 
 
+def _dedup_minhash_fn(spark, sf_dir: str):
+    """Materialized-stage variant of the staged plan: Spark inlines CTEs,
+    so the pure-SQL form re-tokenizes the corpus once per reference (the
+    bands CTE alone re-scans `sigs` four times).  Persisting the token and
+    band stages and exploding all four band keys in ONE pass over the
+    signatures keeps every stage single-scan; the SQL arithmetic is the
+    shared template's, so the oracle still matches bit-for-bit.
+
+    At sf0.1 the two plans time within noise of each other — the cost is
+    dominated by the candidate DISTINCT over ~30M band-collision rows
+    (7.54M distinct pairs; the corpus is 7% near-duplicate) — but the
+    redundant corpus scans the persist removes grow linearly with corpus
+    size while the collision volume is a property of the duplicate rate,
+    so single-scan is the correct posture at 100 TB."""
+    d = SPARK
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+
+    toks = D.tokens_distinct("text", d)
+    toks_df = spark.sql(
+        f"select doc_id, {toks} as toks from documents").persist()
+    toks_df.createOrReplaceTempView("mh_toks")
+
+    ths = D.lmap("toks", f"t -> {D.polyhash('t', d)}", d)
+    m = D.MINHASH_PRIME
+    sig_cols = ", ".join(
+        f"array_min(transform(ths, h -> ({a}L * (h % {m}L) + {b}L) % {m}L)) "
+        f"as s{j}"
+        for j, (a, b) in enumerate(D.MINHASH_PERMS))
+    rows = len(D.MINHASH_PERMS) // D.LSH_BANDS
+    mixm = (1 << 31) - 1
+    band_structs = []
+    for band in range(D.LSH_BANDS):
+        expr = "0"
+        for r in range(rows):
+            expr = f"((({expr}) * 1000003L + s{band * rows + r}) % {mixm}L)"
+        band_structs.append(
+            f"named_struct('band_idx', {band}, "
+            f"'band_key', cast({expr} as bigint))")
+    bands_df = spark.sql(f"""
+        select doc_id, b.band_idx, b.band_key
+        from (select doc_id, {sig_cols}
+              from (select doc_id, {ths} as ths from mh_toks) x) sigs
+        lateral view explode(array({', '.join(band_structs)})) t as b
+    """).persist()
+    bands_df.createOrReplaceTempView("mh_bands")
+
+    inter = "size(array_intersect(da.toks, db.toks))"
+    union = "size(array_union(da.toks, db.toks))"
+    jac = f"(cast({inter} as double) / {union})"
+    return spark.sql(f"""
+        with cand as (
+          select distinct a.doc_id as doc_a, b.doc_id as doc_b
+          from mh_bands a join mh_bands b
+            on a.band_idx = b.band_idx and a.band_key = b.band_key
+           and a.doc_id < b.doc_id
+        )
+        select c.doc_a, c.doc_b,
+               cast(round({jac}, 6) as double) as jaccard
+        from cand c
+        join mh_toks da on da.doc_id = c.doc_a
+        join mh_toks db on db.doc_id = c.doc_b
+        where {jac} >= 0.9
+    """)
+
+
 _reg(Query("dedup_minhash_lsh", ("documents",),
+           fn=_dedup_minhash_fn,
            spark_sql=_minhash_spark_staged(),
            duck_sql=_dedup_minhash_lsh(DUCK),
            doc="MinHash+LSH banded near-dup join with exact-Jaccard verify "
-               "(staged single-tokenization plan on the Spark side)"))
+               "(persisted single-scan stages on the Spark side)"))
 
 
 def _dedup_simhash(d: str) -> str:
