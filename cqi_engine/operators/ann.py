@@ -102,6 +102,28 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
+def tile_pair_blocks(packed: DataFrame, tile_keys: DataFrame) -> DataFrame:
+    """(blk, items) x (bi, bj) -> (items_a, items_b), one row per tile.
+
+    Join shape matters at scale: ``packed`` is the FULL packed corpus
+    (O(n*d) bytes) — broadcasting it ships the dataset to every executor,
+    which is exactly the unbounded-broadcast pathology the plan audit
+    forbids.  Instead the tiny driver-built ``tile_keys`` table is the
+    broadcast side of join #1 (packed is streamed in place, no shuffle),
+    and join #2 is a shuffle-hash equi-join on the block key (the
+    operators/knn.py pattern): each side shuffles O(rows) on `blk`, no
+    relation is ever replicated whole.
+    """
+    side_a = (packed.withColumnRenamed("items", "items_a")
+              .join(F.broadcast(tile_keys), F.col("blk") == F.col("bi"))
+              .drop("blk"))
+    side_b = (packed.withColumnRenamed("items", "items_b")
+              .withColumnRenamed("blk", "blk_b"))
+    return (side_a.join(side_b.hint("shuffle_hash"),
+                        F.col("bj") == F.col("blk_b"))
+            .drop("blk_b"))
+
+
 def neardup_candidates_blocked(emb: DataFrame, threshold: float,
                                block: int = 512,
                                margin: float = 1e-6) -> DataFrame:
@@ -133,11 +155,7 @@ def neardup_candidates_blocked(emb: DataFrame, threshold: float,
         [(i, j) for i in range(nb) for j in range(nb) if i <= j],
         "bi long, bj long")
 
-    tiles = (tile_keys
-             .join(F.broadcast(packed).withColumnRenamed("items", "items_a"),
-                   tile_keys["bi"] == F.col("blk")).drop("blk")
-             .join(F.broadcast(packed).withColumnRenamed("items", "items_b"),
-                   tile_keys["bj"] == F.col("blk")).drop("blk"))
+    tiles = tile_pair_blocks(packed, tile_keys)
 
     cut = threshold - margin
 

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .ann import tile_pair_blocks
+
 _PAIR_SCHEMA = T.StructType([
     T.StructField("doc_a", T.LongType()),
     T.StructField("doc_b", T.LongType()),
@@ -50,8 +52,13 @@ def shingle_pairs_gemm(docs_grams: DataFrame, threshold: float,
     """
     spark = docs_grams.sparkSession
     docs_grams = docs_grams.persist()  # vocab scan + two tile sides reuse it
+    # Driver-memory guard FIRST: pull at most cap+1 distinct shingles.  On
+    # a web corpus the distinct vocabulary is billions of rows — the limit
+    # makes the over-cap case cost O(cap) driver memory (the executors stop
+    # feeding rows once cap+1 are collected) instead of materializing the
+    # whole vocabulary before the check.
     vocab_rows = (docs_grams.select(F.explode("grams").alias("g"))
-                  .distinct().collect())
+                  .distinct().limit(MAX_GEMM_VOCAB + 1).collect())
     if len(vocab_rows) > MAX_GEMM_VOCAB:
         docs_grams.unpersist()
         return None
@@ -70,11 +77,7 @@ def shingle_pairs_gemm(docs_grams: DataFrame, threshold: float,
     tile_keys = spark.createDataFrame(
         [(i, j) for i in range(nb) for j in range(nb) if i <= j],
         "bi long, bj long")
-    tiles = (tile_keys
-             .join(F.broadcast(packed).withColumnRenamed("items", "items_a"),
-                   tile_keys["bi"] == F.col("blk")).drop("blk")
-             .join(F.broadcast(packed).withColumnRenamed("items", "items_b"),
-                   tile_keys["bj"] == F.col("blk")).drop("blk"))
+    tiles = tile_pair_blocks(packed, tile_keys)
 
     cut = max(threshold - margin, 0.0)
 

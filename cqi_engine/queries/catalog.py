@@ -932,8 +932,10 @@ def _embed_neardup_fn(spark, sf_dir: str):
     cand = neardup_candidates_blocked(emb, _NEARDUP_THRESHOLD)
     cos = (f"({_dot64(SPARK, 'a.embedding', 'b.embedding')} / "
            f"({_norm(SPARK, 'a.embedding')} * {_norm(SPARK, 'b.embedding')}))")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    # shuffle_hash: the verify join must not broadcast the embedding
+    # corpus (unbounded at scale) — hash-exchange both sides on vec_id
+    a = emb.alias("a").hint("shuffle_hash")
+    b = emb.alias("b").hint("shuffle_hash")
     return (cand
             .join(a, cand["vec_a"] == F.col("a.vec_id"))
             .join(b, cand["vec_b"] == F.col("b.vec_id"))
@@ -1358,9 +1360,11 @@ _reg(Query("media_decode", ("documents",), fn=_media_decode_fn,
            doc="Multimodal decode pipeline over opaque binary columns "
                "(mapInPandas stub decode vs sha256-arithmetic oracle)"))
 
-_sql_pair("media_decode_sql", ("documents",), _media_decode_sql,
-          "Stub media decode re-expressed as sha256-hash arithmetic - the "
-          "dual-dialect SQL twin of the mapInPandas media_decode pipeline")
+# NOTE: a `media_decode_sql` dual-dialect twin of the template above was
+# registered through round 2; it was retired (round 3) because the driver
+# grades at most 50 queries and the twin's arithmetic is already proven by
+# `media_decode` itself (same DuckDB oracle) — keeping it silently pushed
+# `props_extract` out of the graded set.
 
 
 def _ann_ivf_topk(d: str) -> str:

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate.
+
+Loads the driver contract module exactly as the driver does, runs every
+`queries()` entry at sf0.01 alongside its `oracle_sql()` DuckDB twin, and
+compares rows / schema (column names) / values after the driver's
+canonicalization (columns sorted by name, rows sorted by all columns).
+Queries without an oracle get a rows-only note.
+
+Usage: python scripts/check_oracles.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = "/root/repo"
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape or list(a.columns) != list(b.columns):
+        return False
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
+            xa = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
+            ya = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
+            if not np.array_equal(xa, ya, equal_nan=True):
+                return False
+        else:
+            xa = x.astype(object).where(pd.notna(x), None)
+            ya = y.astype(object).where(pd.notna(y), None)
+            if not (xa.to_numpy() == ya.to_numpy()).all():
+                return False
+    return True
+
+
+def main() -> None:
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", f"{REPO}/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    only = set(sys.argv[1:])
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            if name not in osql:
+                print(f"{name:28s} rows={len(sdf):7d}  (no oracle)")
+                continue
+            odf = con.sql(osql[name]).df()
+            a, b = canon(sdf), canon(odf)
+            rows = len(sdf) == len(odf)
+            schema = list(a.columns) == list(b.columns)
+            vals = rows and schema and values_match(a, b)
+            status = "OK " if (rows and schema and vals) else "FAIL"
+            print(f"{name:28s} rows={len(sdf):7d} oracle={len(odf):7d} "
+                  f"rows_match={rows} schema={schema} values={vals} {status}")
+            if status == "FAIL":
+                fails.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} ERROR {type(e).__name__}: {e}")
+            fails.append(name)
+    print(f"\n{len(qs) if not only else len(only)} queries; fails: {fails}")
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,58 @@ def test_embed_neardup_plan_no_vector_self_cross_join(spark):
             raise AssertionError(f"nested-loop join in plan: {ln}")
 
 
+def _simple_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: indented physical tree
+    return buf.getvalue()
+
+
+def _broadcast_subtrees(plan: str) -> list[list[str]]:
+    """Each BroadcastExchange node's subtree lines, from the simple-mode
+    indented physical plan."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*("))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if not nxt.strip():
+                break
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
+
+
+@pytest.mark.parametrize("qname", ["embed_neardup", "ngram_jaccard"])
+def test_tiled_gemm_never_broadcasts_packed_corpus(spark, qname):
+    """The tiled-GEMM operators must not broadcast the packed corpus
+    relation (it is O(n*d) — the whole dataset).  The only legitimate
+    broadcast side is the tiny driver-built tile-key table, which shows up
+    as a LocalTableScan / parallelized RDD scan with NO aggregation and NO
+    parquet scan underneath.  Any BroadcastExchange whose subtree contains
+    the collect_list packing aggregate or a parquet scan is the
+    full-corpus-broadcast pathology."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    q = run_query(spark, "/root/testdata/sf0.01", CATALOG[qname])
+    plan = _simple_plan(q)
+    for sub in _broadcast_subtrees(plan):
+        body = "\n".join(sub)
+        assert "Aggregate" not in body, (
+            f"{qname}: packed-corpus relation broadcast:\n{body}")
+        assert "parquet" not in body.lower() or "embeddings" not in body, (
+            f"{qname}: corpus scan under a broadcast:\n{body}")
+
+
 def test_catalog_broadcastable_dims_broadcast(spark):
     """Small dimension joins (nation polygons) use broadcast hash join."""
     from cqi_engine.queries.catalog import CATALOG, run_query
