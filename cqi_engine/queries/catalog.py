@@ -1257,9 +1257,19 @@ def _flagship_fixture_sql() -> str:
     return FIXTURE_SQL
 
 
+def _flagship_full_fixture_sql() -> str:
+    from ._flagship_fixture import FULL_FIXTURE_SQL
+    return FULL_FIXTURE_SQL
+
+
 def _cqi_score_full_fn(spark, sf_dir: str):
-    from ..sources.webways import score_documents
-    return score_documents(spark, sf_dir)
+    """Value oracle over the ENTIRE 38-column flagship output: each scored
+    row is collapsed to a sha256 digest of all output columns (shared
+    canonicalization webways.digest_rows_pdf) so any value drift in any
+    column — not just the 5-column projected twin — fails the compare.
+    The digest runs as a pure mapInPandas stage (no extra shuffle)."""
+    from ..sources.webways import digest_scored, score_documents
+    return digest_scored(score_documents(spark, sf_dir))
 
 
 _reg(Query("cqi_score_ways", ("documents",), fn=_cqi_score_fn,
@@ -1269,8 +1279,9 @@ _reg(Query("cqi_score_ways", ("documents",), fn=_cqi_score_fn,
                "graded against the pandas-kernel fixture oracle"))
 
 _reg(Query("cqi_score_ways_full", ("documents",), fn=_cqi_score_full_fn,
-           doc="Flagship full output (all 38 scored columns; rows-only — "
-               "the projected twin cqi_score_ways carries the oracle)"))
+           duck_sql=_flagship_full_fixture_sql(),
+           doc="Flagship full output, value-graded: per-row sha256 digest "
+               "of all 38 scored columns vs the pandas-kernel fixture"))
 
 
 def _media_decode_fn(spark, sf_dir: str):

@@ -170,6 +170,81 @@ def score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FLAGSHIP_PROJECTION = ["id", "side", "way_type", "index", "stress_level"]
 
+# --------------------------------------------------------------------------
+# full-output value oracle: a deterministic per-row digest of ALL 38 scored
+# columns.  The digest canonicalization is shared verbatim between the
+# distributed pipeline (digest_scored, mapInPandas) and the pandas reference
+# path (flagship_full_expected -> scripts/gen_flagship_fixture.py), so a
+# value difference in ANY of the 38 columns — not just the 5-column
+# FLAGSHIP_PROJECTION — flips the sha and fails the driver compare.
+# --------------------------------------------------------------------------
+
+_DIGEST_INT_COLS = frozenset((
+    "index", "index_10", "stress_level", "base_index", "proc_maxspeed",
+    "filter_usable"))
+_DIGEST_FLOAT_COLS = frozenset((
+    "offset", "proc_width", "proc_buffer_left", "proc_buffer_right",
+    "fac_width", "fac_surface", "fac_highway", "fac_maxspeed",
+    "fac_1", "fac_2", "fac_3", "fac_4", "data_incompleteness"))
+
+
+def _digest_cell(col: str, v) -> str:
+    if v is None or v is pd.NA or (isinstance(v, float) and np.isnan(v)):
+        return ""
+    if col in _DIGEST_INT_COLS:
+        return str(int(round(float(v))))
+    if col in _DIGEST_FLOAT_COLS:
+        # fixed 9-dp rounding: well inside the kernel's deterministic
+        # precision, stable across Arrow float64 round trips
+        return repr(round(float(v), 9))
+    return str(v)
+
+
+def digest_rows_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(id, side, row_sha) for each scored row; row_sha covers all 38
+    output columns in config.OUTPUT_COLUMNS order."""
+    import hashlib
+
+    from .. import config as C
+
+    cols = list(C.OUTPUT_COLUMNS)
+    out_id, out_side, out_sha = [], [], []
+    cells = [[_digest_cell(c, v) for v in pdf[c]] for c in cols]
+    side_i = cols.index("side")
+    id_i = cols.index("id")
+    for r in range(len(pdf)):
+        payload = "\x1f".join(cells[c][r] for c in range(len(cols)))
+        out_id.append(cells[id_i][r])
+        out_side.append(cells[side_i][r])
+        out_sha.append(hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16])
+    return pd.DataFrame({"id": out_id, "side": out_side, "row_sha": out_sha})
+
+
+def digest_scored(scored: DataFrame) -> DataFrame:
+    """Distributed digest of the full scored table (pure map, no shuffle)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("row_sha", T.StringType()),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield digest_rows_pdf(pdf)
+
+    return scored.mapInPandas(run, schema)
+
+
+def flagship_full_expected(sf_dir: str) -> pd.DataFrame:
+    """(id, side, row_sha) from the PANDAS reference path — the fixture
+    the distributed full-output digest is graded against."""
+    from ..kernel.pipeline import final_projection, score_ways
+    scored = final_projection(score_ways(ways_pandas(sf_dir)))
+    return digest_rows_pdf(scored).reset_index(drop=True)
+
 
 def ways_pandas(sf_dir: str) -> pd.DataFrame:
     """Single-process twin of :func:`ways_from_documents` (same synthesis,

@@ -21,7 +21,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cqi_engine.sources.webways import FLAGSHIP_PROJECTION, flagship_expected
+from cqi_engine.sources.webways import (FLAGSHIP_PROJECTION,
+                                        flagship_expected,
+                                        flagship_full_expected)
 
 SF_DIR = "/root/testdata/sf0.01"
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -42,26 +44,35 @@ def _lit(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _values_sql(df, cols) -> str:
+    rows = ["(" + ", ".join(_lit(v) for v in t) + ")"
+            for t in df.itertuples(index=False)]
+    col_list = ", ".join(f'"{c}"' for c in cols)
+    return ("select * from (values\n" + ",\n".join(rows)
+            + f"\n) as t({col_list})")
+
+
 def main() -> None:
     exp = flagship_expected(SF_DIR)
-    rows = []
-    for t in exp.itertuples(index=False):
-        rows.append("(" + ", ".join(_lit(v) for v in t) + ")")
-    cols = ", ".join(f'"{c}"' for c in FLAGSHIP_PROJECTION)
-    sql = ("select * from (values\n" + ",\n".join(rows)
-           + f"\n) as t({cols})")
+    sql = _values_sql(exp, FLAGSHIP_PROJECTION)
+    full = flagship_full_expected(SF_DIR)
+    full_sql = _values_sql(full, list(full.columns))
     body = (
         '"""Flagship-oracle fixture (GENERATED — do not edit by hand).\n\n'
         "Produced by scripts/gen_flagship_fixture.py from the PANDAS\n"
         "reference path over /root/testdata/sf0.01; pinned fresh by\n"
-        "tests/test_oracle_parity.py::test_flagship_fixture_fresh.\n"
+        "tests/test_oracle_parity.py::test_flagship_fixture_fresh.\n\n"
+        "FIXTURE_SQL grades the 5-column deterministic projection;\n"
+        "FULL_FIXTURE_SQL grades a per-row sha256 digest covering ALL 38\n"
+        "output columns (webways.digest_rows_pdf canonicalization).\n"
         '"""\n\n'
         f"N_ROWS = {len(exp)}\n\n"
-        f'FIXTURE_SQL = """{sql}"""\n'
+        f'FIXTURE_SQL = """{sql}"""\n\n'
+        f'FULL_FIXTURE_SQL = """{full_sql}"""\n'
     )
     with open(OUT, "w", encoding="utf-8") as fh:
         fh.write(body)
-    print(f"wrote {OUT}: {len(exp)} rows")
+    print(f"wrote {OUT}: {len(exp)} rows (+{len(full)} digest rows)")
 
 
 if __name__ == "__main__":

@@ -99,6 +99,20 @@ def test_flagship_fixture_fresh(duck):
     assert ekey == fkey
 
 
+def test_flagship_full_fixture_fresh(duck):
+    """The 38-column digest fixture must equal a fresh pandas-path run."""
+    from cqi_engine.queries._flagship_fixture import FULL_FIXTURE_SQL
+    from cqi_engine.sources.webways import flagship_full_expected
+
+    exp = flagship_full_expected(SF_DIR)
+    fres = duck.sql(FULL_FIXTURE_SQL)
+    assert sorted(fres.columns) == sorted(exp.columns)
+    ekey = _table_key([tuple(t) for t in exp.itertuples(index=False)],
+                      list(exp.columns))
+    fkey = _table_key(fres.fetchall(), fres.columns)
+    assert ekey == fkey
+
+
 def test_ann_blocked_matches_oracle_query(spark):
     """The numpy scale path must agree with the expression-fold baseline."""
     base = run_query(spark, SF_DIR, CATALOG["ann_topk"]).collect()
