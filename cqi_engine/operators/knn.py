@@ -43,10 +43,11 @@ def ring_offsets(max_ring: int) -> list[tuple[int, int, int]]:
     return out
 
 
-def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
-             max_ring: int = 2, cell_mult: int = 100000) -> DataFrame:
-    """points(way_id|pt id, cx, cy ints) x way_cells(road_id, cellx, celly,
-    road_geom) -> k nearest ways per point.
+def _knn_probe(points: DataFrame, way_cells: DataFrame, k: int = 3,
+               max_ring: int = 2, cell_mult: int = 100000) -> DataFrame:
+    """Single bounded-disk probe: points(pt_id, x, y, cx, cy ints) x
+    way_cells(road_id, cellx, celly, road_geom) -> k nearest per point
+    AMONG the candidates registered within Chebyshev ring <= max_ring.
 
     `cx`/`cy` are integer cell coordinates; the composite join key is
     cx*cell_mult+cy.  Exact distance refine runs vectorized per Arrow batch.
@@ -117,3 +118,90 @@ def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
     return (dedup
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
+             max_ring: int = 2, cell_mult: int = 100000,
+             cell_size: float | None = None,
+             verify: bool = True) -> DataFrame:
+    """k nearest ways per point, with per-point exactness verification.
+
+    A way at true Euclidean distance d from a point is registered in a
+    cell within Chebyshev ring floor(d/cell_size) + 1 of the point's cell
+    (worst case: the point sits on a cell edge).  So after ranking within
+    a probed disk of ring R, a point's top-k is PROVEN exact iff it found
+    >= k candidates and its k-th distance dk satisfies
+    floor(dk/cell_size) + 1 <= R — every way that could still beat the
+    current k-th lies inside the already-probed disk.
+
+    With ``verify`` (the default, requires ``cell_size``), points failing
+    the proof are re-probed with the ring their own dk implies (doubling
+    when k candidates were not found at all), up to the data's own cell
+    extent — so an under-sized density heuristic for ``max_ring`` costs a
+    second small probe over the flagged subset, never exactness.  The
+    driver's role per round is one tiny aggregate (flag count + needed
+    ring): O(log(extent/cell)) rounds, O(1) driver data each.
+
+    Without ``cell_size`` the single bounded-disk probe is returned
+    unverified (callers that only need disk-local semantics).
+    """
+    base = _knn_probe(points, way_cells, k, max_ring, cell_mult)
+    if not verify or cell_size is None:
+        return base
+
+    # the largest ring that can ever help: the Chebyshev spread of the
+    # two cell extents (beyond it the disk covers every indexed way)
+    ext = way_cells.agg(
+        F.min("cellx").alias("ax"), F.max("cellx").alias("bx"),
+        F.min("celly").alias("ay"), F.max("celly").alias("by")).collect()[0]
+    pext = points.agg(
+        F.min("cx").alias("ax"), F.max("cx").alias("bx"),
+        F.min("cy").alias("ay"), F.max("cy").alias("by")).collect()[0]
+    if ext["ax"] is None or pext["ax"] is None:
+        return base
+    ring_cap = max(abs(int(ext["bx"]) - int(pext["ax"])),
+                   abs(int(pext["bx"]) - int(ext["ax"])),
+                   abs(int(ext["by"]) - int(pext["ay"])),
+                   abs(int(pext["by"]) - int(ext["ay"]))) + 1
+
+    eps = 1e-6  # refine rounds dist to 6 dp; don't let rounding flip floor
+    resolved = []
+    cur_ring = max_ring
+    cur = base.persist()
+    cur_points = points
+    while True:
+        stats = cur.groupBy("pt_id").agg(
+            F.count("*").alias("n"), F.max("dist").alias("dk"))
+        # zero-candidate points never reach `stats`: start from the probe's
+        # point set so they are flagged, not silently dropped
+        stats = (cur_points.select("pt_id").distinct()
+                 .join(stats, "pt_id", "left"))
+        proven_ok = ((F.col("n") >= k) &
+                     (F.floor((F.col("dk") + F.lit(eps)) / F.lit(cell_size))
+                      + 1 <= F.lit(cur_ring)))
+        if cur_ring >= ring_cap:  # disk already covers the whole extent
+            resolved.append(cur)
+            break
+        bad = stats.filter(~F.coalesce(proven_ok, F.lit(False))) \
+            .select("pt_id",
+                    F.when(F.col("n") >= k, F.floor(
+                        (F.col("dk") + F.lit(eps)) / F.lit(cell_size)) + 1)
+                    .alias("need_ring")).persist()
+        agg = bad.agg(F.count("*").alias("c"),
+                      F.max("need_ring").alias("need")).collect()[0]
+        if agg["c"] == 0:
+            resolved.append(cur)
+            bad.unpersist()
+            break
+        resolved.append(cur.join(bad.select("pt_id"), "pt_id", "left_anti"))
+        need = int(agg["need"]) if agg["need"] is not None else 0
+        new_ring = min(ring_cap, max(need, cur_ring * 2))
+        cur_points = points.join(bad.select("pt_id"), "pt_id", "inner")
+        cur = _knn_probe(cur_points, way_cells, k, new_ring,
+                         cell_mult).persist()
+        cur_ring = new_ring
+
+    out = resolved[0]
+    for part in resolved[1:]:
+        out = out.unionByName(part)
+    return out

@@ -498,14 +498,13 @@ _KNN_CELL_M = 10_000  # kNN grid is coarser than the dwithin grid: cells
 def _knn_blocked_fn(spark, sf_dir: str):
     """Scale path: cell-ring-bounded kNN (operators/knn.py knn_ways).
 
-    Exactness contract of grid kNN: results equal the global brute force
-    whenever each point's true k-th neighbor lies within max_ring *
-    cell_size.  max_ring is chosen from the measured site density with a
-    2.5x tail-safety factor over the mean k-NN radius sqrt(k/(pi*lambda))
-    (the max/mean ratio is ~2.06 on every tested corpus; a production
-    engine would additionally verify dist_k <= max_ring*cell per point and
-    re-probe the failures).  The driver's cross-join oracle (`_knn`) is
-    the independent proof that the bound held.
+    Exactness is VERIFIED per point, not assumed: max_ring is still chosen
+    from the measured site density (2.5x tail-safety over the mean k-NN
+    radius sqrt(k/(pi*lambda))), but knn_ways then checks every point's
+    proof obligation floor(dist_k/cell)+1 <= ring and re-probes the
+    failures with the ring their own dist_k implies (operators/knn.py;
+    adversarial-density test in tests/test_ops_modules.py).  The driver's
+    cross-join oracle (`_knn`) independently confirms the result.
     """
     from pyspark.sql import functions as F
     from ..operators.knn import knn_ways
@@ -532,7 +531,8 @@ def _knn_blocked_fn(spark, sf_dir: str):
         f"array(array(cast({sx} as double), cast({sy} as double))) "
         "as road_geom")
 
-    knn = knn_ways(points, sites, k=5, max_ring=max_ring)
+    knn = knn_ways(points, sites, k=5, max_ring=max_ring,
+                   cell_size=float(_KNN_CELL_M))
     # integer dist_sq recomputed from the keys (exact; the operator's
     # rounded-sqrt `dist` orders identically but is not the oracle's unit)
     dx = f"(({cx}) - ({sx}))"

@@ -60,13 +60,59 @@ def test_knn_ring_search(spark):
                           T.ArrayType(T.ArrayType(T.DoubleType()))),
         ]))
 
-    out = knn_ways(pts, idx, k=2, max_ring=2)
+    out = knn_ways(pts, idx, k=2, max_ring=2, cell_size=100.0)
     rows = {(r["pt_id"], r["rank"]): (r["road_id"], r["dist"])
             for r in out.collect()}
     assert rows[("p1", 1)] == ("w1", 5.0)     # x=100 line, 5 m away
     assert rows[("p1", 2)] == ("w2", 95.0)
     assert rows[("p2", 1)][0] in ("w3", "w4")
     assert rows[("p3", 1)] == ("w0", 20.0)
+
+
+def test_knn_verifier_reprobes_skewed_density(spark):
+    """Adversarial density: all sites cluster far from a group of query
+    points, so the static ring bound (sized for a uniform corpus) finds
+    too few / too-far candidates.  The per-point verifier must detect the
+    failed proof (floor(dk/cell)+1 > ring, or n < k) and re-probe until
+    results equal the global brute force — exactly the hardening the
+    static-heuristic plan could not give."""
+    import itertools
+    from cqi_engine.operators.knn import knn_ways, _knn_probe
+
+    cell = 100.0
+    # 40 sites packed into one corner cell; 3 query points 15-30 cells away
+    sites = [(f"s{i:02d}", 0, 0,
+              [[float(5 + (i % 8) * 2), float(5 + (i // 8) * 2)]])
+             for i in range(40)]
+    idx = spark.createDataFrame(
+        sites, "road_id string, cellx int, celly int, "
+               "road_geom array<array<double>>")
+    pts = spark.createDataFrame(
+        [("far1", 1550.0, 1550.0, 15, 15),
+         ("far2", 3050.0, 50.0, 30, 0),
+         ("near", 150.0, 50.0, 1, 0)],
+        "pt_id string, x double, y double, cx int, cy int")
+
+    # brute-force truth
+    truth = {}
+    rows = [(p, x, y) for p, x, y, _, _ in
+            [("far1", 1550.0, 1550.0, 0, 0), ("far2", 3050.0, 50.0, 0, 0),
+             ("near", 150.0, 50.0, 0, 0)]]
+    for p, x, y in rows:
+        ds = sorted((round(((x - g[0][0]) ** 2 + (y - g[0][1]) ** 2) ** 0.5,
+                           6), rid) for rid, _cx, _cy, g in sites)
+        truth[p] = [rid for _d, rid in ds[:3]]
+
+    # control: the unverified probe at ring 2 misses the far points entirely
+    bare = _knn_probe(pts, idx, k=3, max_ring=2)
+    assert bare.filter("pt_id like 'far%'").count() == 0
+
+    got = knn_ways(pts, idx, k=3, max_ring=2, cell_size=cell)
+    by_pt = {}
+    for r in got.collect():
+        by_pt.setdefault(r["pt_id"], []).append((r["rank"], r["road_id"]))
+    for p in truth:
+        assert [rid for _rk, rid in sorted(by_pt[p])] == truth[p], p
 
 
 # ----------------------------------------------------------- streaming ----
