@@ -365,6 +365,32 @@ def test_ngram_gemm_vocab_guard_bounded(spark, monkeypatch):
     assert (0, 1, 2, 2) in got
 
 
+def test_recall_artifact_fresh():
+    """RECALL.md must equal a fresh measurement — the recorded recall of
+    the sub-quadratic near-dup variants cannot drift silently."""
+    import importlib.util
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_recall_artifact",
+        os.path.join(root, "scripts", "gen_recall_artifact.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    with open(os.path.join(root, "RECALL.md"), encoding="utf-8") as fh:
+        text = fh.read()
+    recorded = {(m[0], m[1]): (int(m[2]), int(m[3]), float(m[4]))
+                for m in re.findall(
+                    r"\| `(\w+)` \| ([\d.]+) \| (\d+) \| (\d+) \| ([\d.]+) \|",
+                    text)}
+    fresh = {(r["variant"], r["sf"]):
+             (r["exact_pairs"], r["pairs"], r["recall"])
+             for d in gen.SF_DIRS for r in gen.measure(d)}
+    assert recorded == fresh
+
+
 def test_embed_neardup_lsh_recall_measured(spark):
     """The LSH-table path is recall-bounded by design; record the measured
     recall vs the exact entry so the trade-off is explicit, not silent."""
