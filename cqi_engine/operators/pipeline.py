@@ -55,13 +55,34 @@ _ROAD_CELLS_SCHEMA = T.StructType([
     T.StructField("road_maxspeed", T.DoubleType()),
     T.StructField("road_layer", T.StringType()),
     T.StructField("cell", T.LongType()),
-    T.StructField("road_geom", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    # CLIPPED local segments as a FLAT float32 array of [ax, ay, bx, by]
+    # quadruples RELATIVE to the cell's metric origin.  Cell-relative
+    # magnitude is <= cell_size + pad (~86 m), so float32 keeps ~1e-5 m
+    # precision — far inside the 22 m predicate's tolerance — at 1/3 the
+    # shuffle bytes of the former array<array<double>> encoding (and with
+    # one Arrow offset buffer instead of one child array per segment).
+    T.StructField("road_geom", T.ArrayType(T.FloatType())),
 ])
 
 
-def _metric(geom) -> np.ndarray:
-    # Arrow hands array<array<double>> as an object ndarray of ndarrays
-    g = np.vstack([np.asarray(p, dtype=float) for p in geom])
+def _flat_geom(df: DataFrame):
+    """`geom_lonlat` as a FLAT array<double> column (interleaved lon,lat).
+
+    Sources may hand geometry nested (`array<array<double>>`, the GeoJSON
+    contract) or already flat (`array<double>`, the web-scale synthesis
+    path).  Flattening JVM-side before the Arrow boundary replaces one
+    child array per point with a single values+offsets buffer pair —
+    measurably lighter to transfer and to cache.
+    """
+    dt = df.schema["geom_lonlat"].dataType
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.ArrayType):
+        return F.flatten(F.col("geom_lonlat")).alias("geom_flat")
+    return F.col("geom_lonlat").alias("geom_flat")
+
+
+def _metric(flat) -> np.ndarray:
+    # Arrow hands array<double> as one ndarray of interleaved lon,lat
+    g = np.asarray(flat, dtype=float).reshape(-1, 2)
     x, y = lonlat_to_metric(g[:, 0], g[:, 1])
     return np.column_stack([x, y])
 
@@ -72,7 +93,7 @@ def sample_points(paths: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("way_id", "layer", "pt_seq", "x", "y")}
             for wid, layer, geom in zip(pdf["id"], pdf["layer"],
-                                        pdf["geom_lonlat"]):
+                                        pdf["geom_flat"]):
                 pts = sample_points_along(_metric(geom),
                                           C.SIDEPATH_SAMPLE_SPACING_M)
                 for k, (x, y) in enumerate(pts):
@@ -88,7 +109,7 @@ def sample_points(paths: DataFrame) -> DataFrame:
                            if len(res) else pd.Series([], dtype="int64"))
             yield res
 
-    return paths.select("id", "layer", "geom_lonlat").mapInPandas(
+    return paths.select("id", "layer", _flat_geom(paths)).mapInPandas(
         gen, _POINTS_SCHEMA)
 
 
@@ -105,6 +126,8 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
     clip bounds it to ~one copy of each segment per adjacent cell while
     keeping the <=22 m predicate exact.
     """
+    csize = cells.cell_size(cells.JOIN_RES)
+
     def gen(batches):
         for pdf in batches:
             rows = {k: [] for k in ("road_id", "road_highway", "road_name",
@@ -112,15 +135,14 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
                                     "road_geom")}
             for rid, hw, name, ms, layer, geom in zip(
                     pdf["id"], pdf["highway"], pdf["name"], pdf["maxspeed"],
-                    pdf["layer"], pdf["geom_lonlat"]):
+                    pdf["layer"], pdf["geom_flat"]):
                 metric = _metric(geom)
                 try:
                     msv = float(ms) if ms not in (None, "") else None
                 except (TypeError, ValueError):
                     msv = None
                 clipped = segment_cells_clipped(
-                    metric, cells.cell_size(cells.JOIN_RES),
-                    C.SIDEPATH_BUFFER_SIZE_M)
+                    metric, csize, C.SIDEPATH_BUFFER_SIZE_M)
                 for (ix, iy), segs in clipped.items():
                     rows["road_id"].append(rid)
                     rows["road_highway"].append(hw)
@@ -130,11 +152,14 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
                     rows["cell"].append(
                         (cells.JOIN_RES * cells.SHIFT + ix + cells.OFFSET)
                         * cells.SHIFT + iy + cells.OFFSET)
-                    rows["road_geom"].append(segs.tolist())
+                    # cell-relative flat float32 payload (see schema note)
+                    rel = segs - np.array([ix, iy, ix, iy], dtype=float) * csize
+                    rows["road_geom"].append(
+                        np.ascontiguousarray(rel, dtype=np.float32).ravel())
             yield pd.DataFrame(rows)
 
     return roads.select("id", "highway", "name", "maxspeed", "layer",
-                        "geom_lonlat").mapInPandas(gen, _ROAD_CELLS_SCHEMA)
+                        _flat_geom(roads)).mapInPandas(gen, _ROAD_CELLS_SCHEMA)
 
 
 def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
@@ -200,11 +225,20 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
             px = pdf["x"].to_numpy(dtype=float)
             py = pdf["y"].to_numpy(dtype=float)
             geom = pdf["road_geom"].to_numpy(dtype=object)
+            cell_ids = pdf["cell"].to_numpy(dtype=np.int64)
+            csize = cells.cell_size(cells.JOIN_RES)
             d = np.empty(len(pdf))
             for s, e in zip(starts, ends):
                 idx = order[s:e]
-                segs = np.asarray([np.asarray(seg, dtype=float)
-                                   for seg in geom[idx[0]]])
+                # payload is flat float32 [ax,ay,bx,by]* RELATIVE to the
+                # cell origin; rebuild absolute segments in float64 once
+                # per (road, cell) group
+                cid = int(cell_ids[idx[0]])
+                iy = cid % cells.SHIFT - cells.OFFSET
+                ix = (cid // cells.SHIFT) % cells.SHIFT - cells.OFFSET
+                origin = np.array([ix, iy, ix, iy], dtype=float) * csize
+                rel = np.asarray(geom[idx[0]], dtype=np.float32)
+                segs = rel.astype(np.float64).reshape(-1, 4) + origin
                 d[idx] = points_to_segments_dist(px[idx], py[idx], segs)
             yield pdf.loc[d <= C.SIDEPATH_BUFFER_SIZE_M, out_cols]
 
@@ -418,5 +452,12 @@ def score_way_table(ways: DataFrame,
     rcells = road_cell_index(roads)
     pairs = dwithin_pairs(points, rcells, salt_threshold).persist()
     agg = sidepath_aggregates(points, pairs)
-    enriched = apply_sidepath_spark(ways, agg)
+    # geometry/url feed only the spatial-join stages above; the scoring
+    # kernel consumes tag attributes (+ geom_metric on pandas-fed tables).
+    # Dropping them here keeps the biggest columns out of the writeback
+    # shuffle AND the final Arrow boundary — at web scale geometry is the
+    # dominant payload of both.
+    slim = ways.drop(*[c for c in ("geom_lonlat", "url")
+                       if c in ways.columns])
+    enriched = apply_sidepath_spark(slim, agg)
     return score_batches(enriched, offset_distance=offset_distance)

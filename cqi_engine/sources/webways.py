@@ -129,8 +129,12 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
 
     fields = [T.StructField("url", T.StringType())]
     fields += [T.StructField(c, T.StringType()) for c in tag_columns]
-    fields.append(T.StructField(
-        "geom_lonlat", T.ArrayType(T.ArrayType(T.DoubleType()))))
+    # FLAT interleaved lon,lat doubles: one Arrow values+offsets buffer
+    # pair per batch instead of one child array per point (the pipeline
+    # dual-accepts flat/nested, see operators.pipeline._flat_geom) —
+    # roughly halves the synthesis stage's Arrow output and the `ways`
+    # persist footprint
+    fields.append(T.StructField("geom_lonlat", T.ArrayType(T.DoubleType())))
     out_schema = T.StructType(fields)
 
     def gen(batches):
@@ -153,7 +157,8 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
                 for c in tag_columns:
                     v = rec.get(c)
                     row[c] = None if v is None else str(v)
-                row["geom_lonlat"] = rec.get("geom_lonlat")
+                row["geom_lonlat"] = np.asarray(
+                    rec.get("geom_lonlat"), dtype=float).ravel()
                 recs.append(row)
             yield pd.DataFrame(
                 recs, columns=["url"] + tag_columns + ["geom_lonlat"])

@@ -288,15 +288,21 @@ def test_salted_pipeline_identical_output(spark):
 # ---------------------------------------------------- media decode twin ----
 def test_media_decode_python_matches_sql_twin(spark):
     """The mapInPandas stub decode and the SQL hash-arithmetic twin must
-    agree attribute for attribute (same sha256-derived values)."""
-    from cqi_engine.queries.catalog import CATALOG, run_query
+    agree attribute for attribute (same sha256-derived values).  The twin
+    was retired from the graded catalog (driver caps at 50 queries) but its
+    Spark-dialect template remains the parity witness here."""
+    from cqi_engine.queries.catalog import (CATALOG, run_query,
+                                            _media_decode_sql)
+    from cqi_engine.operators.dialect import SPARK
 
     py = {r["doc_id"]: r for r in
           run_query(spark, "/root/testdata/sf0.001",
                     CATALOG["media_decode"]).collect()}
+    spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).createOrReplaceTempView("documents")
     sql = {r["doc_id"]: r for r in
-           run_query(spark, "/root/testdata/sf0.001",
-                     CATALOG["media_decode_sql"]).collect()}
+           spark.sql(_media_decode_sql(SPARK)).collect()}
     assert set(py) == set(sql)
     for doc_id, a in py.items():
         b = sql[doc_id]
