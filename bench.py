@@ -117,6 +117,19 @@ def _scaling_summary(art: dict | None) -> list | None:
     ]
 
 
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — this Firecracker
+    VM shows bursty host CPU steal (identical runs vary up to ~4x), so
+    every bench line records the steal fraction seen during ITS window;
+    cross-round comparisons are meaningless without it."""
+    try:
+        with open("/proc/stat", encoding="ascii") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -139,10 +152,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
+    st0, tt0 = _steal_snapshot()
     for name in HEADLINE:
         t0 = time.perf_counter()
         row_counts[name] = run_query(spark, sf_dir, CATALOG[name]).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    st1, tt1 = _steal_snapshot()
+    steal_pct = round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 1)
 
     prior_name, prior = _prior_round_times()
     regressions = {}
@@ -163,6 +179,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "parallelism": cpus,
+        "host_steal_pct": steal_pct,
         "pages_per_sec": round(n_pages / cqi_sec, 1) if cqi_sec else None,
         "way_scores_per_sec": (round(row_counts["cqi_score_ways"] / cqi_sec, 1)
                                if cqi_sec else None),
@@ -171,6 +188,7 @@ def main() -> None:
     }
     detail = {
         "rows": row_counts,
+        "host_steal_pct_during_timed_loop": steal_pct,
         "prior_round": prior_name,
         "regressions_gt_1.5x": regressions,
         "scaling_evidence": art,

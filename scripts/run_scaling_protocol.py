@@ -28,14 +28,48 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(ROOT, "scripts", "scaling_bench.py")
 
 
-def run_once(cpus: int, replicate: int) -> dict:
+def git_sha() -> str:
+    try:
+        return subprocess.run(["git", "-C", ROOT, "rev-parse", "--short",
+                               "HEAD"], capture_output=True, text=True,
+                              timeout=10).stdout.strip()
+    except OSError:
+        return "unknown"
+
+
+def _steal_snapshot() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat."""
+    with open("/proc/stat", encoding="ascii") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def run_once(cpus: int, replicate: int, retries: int = 1) -> dict:
+    """One scaling_bench subprocess; retried on failure (this VM's JVMs
+    occasionally die under memory pressure / steal bursts — a crashed run
+    carries no timing information, so a bounded retry is not cherry-pick).
+    Each run records the host steal fraction observed during its window."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_REPLICATE=str(replicate))
-    out = subprocess.run([sys.executable, BENCH], env=env, check=True,
-                         capture_output=True, text=True, timeout=1800)
-    line = [ln for ln in out.stdout.splitlines()
-            if ln.startswith('{"harness"')][-1]
-    return json.loads(line)
+    last_err = None
+    for attempt in range(retries + 1):
+        s0, t0 = _steal_snapshot()
+        out = subprocess.run([sys.executable, BENCH], env=env,
+                             capture_output=True, text=True, timeout=2400)
+        s1, t1 = _steal_snapshot()
+        lines = [ln for ln in out.stdout.splitlines()
+                 if ln.startswith('{"harness"')]
+        if out.returncode == 0 and lines:
+            rec = json.loads(lines[-1])
+            rec["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
+            return rec
+        last_err = (out.stderr or out.stdout or "")[-2000:]
+        print(f"  run local[{cpus}] R={replicate} attempt {attempt} FAILED "
+              f"(rc={out.returncode}); stderr tail:\n{last_err[-600:]}",
+              flush=True)
+    raise RuntimeError(f"scaling_bench failed after {retries + 1} attempts: "
+                       f"{last_err}")
 
 
 def _spin(args) -> float:
@@ -101,6 +135,18 @@ def main() -> None:
         lo, hi, rep = (int(x) for x in spec.split(":"))
         pairs.append((lo, hi, rep))
 
+    sha = git_sha()
+    session = datetime.datetime.now(
+        datetime.timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+
+    out = os.path.join(ROOT, "SCALING.json")
+    prior = {}
+    try:
+        with open(out, encoding="utf-8") as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        pass
+
     runs = []
     results = {}
     for lo, hi, rep in pairs:
@@ -108,11 +154,27 @@ def main() -> None:
             for cpus in (lo, hi):  # alternating: steal bursts hit both
                 rec = run_once(cpus, rep)
                 rec["rep_idx"] = r
+                rec["session"] = session
+                rec["git_sha"] = sha
                 runs.append(rec)
                 key = (cpus, rep)
                 results.setdefault(key, []).append(rec["wall_s"])
                 print(f"run local[{cpus}] R={rep} rep{r}: "
-                      f"{rec['wall_s']}s", flush=True)
+                      f"{rec['wall_s']}s (steal {rec.get('steal_pct')}%)",
+                      flush=True)
+
+    # cross-session min: prior recorded runs of the SAME code (git sha) and
+    # SAME (parallelism, replicate) config extend the min-of-N pool — steal
+    # only ever inflates wall time, so the minimum over more observations of
+    # identical work is a strictly better estimate of true cost.  Runs from
+    # other code versions never mix in.
+    n_prior_used = 0
+    for rec in prior.get("runs", []):
+        if rec.get("git_sha") == sha and "wall_s" in rec:
+            key = (rec.get("parallelism"), rec.get("replicate"))
+            if key in results:
+                results[key].append(rec["wall_s"])
+                n_prior_used += 1
 
     pair_summaries = []
     for lo, hi, rep in pairs:
@@ -132,22 +194,23 @@ def main() -> None:
             "efficiency_vs_host_ceiling": round(
                 eff / ctrl["ceiling_efficiency"], 3)
             if ctrl["ceiling_efficiency"] else None,
-            "estimator": f"min of {args.reps} alternating runs per config",
+            "estimator": (
+                f"min of {args.reps} alternating runs per config"
+                + (f" + {n_prior_used} prior same-sha recorded runs"
+                   if n_prior_used else "")),
+            "git_sha": sha,
         })
         print(f"pair local[{lo}]->local[{hi}]: eff={eff:.3f} "
               f"(host ceiling {ctrl['ceiling_efficiency']})", flush=True)
 
-    out = os.path.join(ROOT, "SCALING.json")
-    # merge: keep previously recorded pairs not re-measured in this run
-    prior_pairs = []
-    try:
-        with open(out, encoding="utf-8") as fh:
-            prior = json.load(fh)
-        measured = {p["pair"] for p in pair_summaries}
-        prior_pairs = [p for p in prior.get("pairs", [])
-                       if p["pair"] not in measured]
-    except (OSError, ValueError):
-        pass
+    # merge: pairs not re-measured stay current; re-measured pairs push the
+    # prior summary into pair_history (different days on this VM are
+    # different host-steal regimes — superseded measurements stay visible,
+    # never silently replaced).  Every raw run is kept.
+    measured = {p["pair"] for p in pair_summaries}
+    prior_pairs = [p for p in prior.get("pairs", [])
+                   if p["pair"] not in measured]
+    superseded = [p for p in prior.get("pairs", []) if p["pair"] in measured]
     artifact = {
         "generated_utc": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),
@@ -156,7 +219,11 @@ def main() -> None:
                      "memory-bandwidth mp.Pool controls per pair for the "
                      "host ceilings" % args.reps),
         "pairs": prior_pairs + pair_summaries,
-        "runs": runs,
+        "pair_history": prior.get("pair_history", []) + [
+            dict(p, superseded_utc=datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"))
+            for p in superseded],
+        "runs": prior.get("runs", []) + runs,
     }
     with open(out, "w", encoding="utf-8") as fh:
         json.dump(artifact, fh, indent=1)
