@@ -34,7 +34,11 @@ def build_session(app_name: str = "cqi-engine", master: str | None = None,
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # smaller Arrow batches cap the bytes in flight per Python worker
+        # (32 workers x batch x double-buffer is the peak Arrow footprint);
+        # env knob so the scaling protocol can sweep it
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

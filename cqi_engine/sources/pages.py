@@ -42,18 +42,24 @@ def _h(s: str) -> int:
     return int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big")
 
 
+_FILLER_WORDS = ["cycle", "road", "path", "quality", "survey", "street",
+                 "crossing", "junction", "asphalt", "track"]
+
+
+def _filler(way_id: str) -> str:
+    """Deterministic filler prose for one page (seeded by way id)."""
+    seed = _h("filler:" + way_id)
+    return " ".join(_FILLER_WORDS[(seed >> (4 * i)) % len(_FILLER_WORDS)]
+                    for i in range(12))
+
+
 def way_to_text(way_id: str, tags: dict, coords: list[list[float]]) -> str:
     """Deterministic plain-text envelope carrying one way record."""
     tag_json = json.dumps({k: v for k, v in sorted(tags.items())
                            if v is not None}, ensure_ascii=False)
     coord_json = json.dumps([[float(a), float(b)] for a, b in coords])
-    filler_words = ["cycle", "road", "path", "quality", "survey", "street",
-                    "crossing", "junction", "asphalt", "track"]
-    seed = _h("filler:" + way_id)
-    filler = " ".join(filler_words[(seed >> (4 * i)) % len(filler_words)]
-                      for i in range(12))
     return (f"{_ENVELOPE_HEAD}\nid: {way_id}\ntags: {tag_json}\n"
-            f"geom: {coord_json}\n{_ENVELOPE_TAIL}\n{filler}\n")
+            f"geom: {coord_json}\n{_ENVELOPE_TAIL}\n{_filler(way_id)}\n")
 
 
 def page_row(way_id: str, tags: dict, coords: list[list[float]]) -> dict:

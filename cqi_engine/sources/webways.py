@@ -109,6 +109,69 @@ def active_tag_columns() -> tuple[str, ...]:
     return tuple(c for c in C.TAG_WHITELIST if c in keys)
 
 
+_WID_SENTINEL = "@@WID@@"
+
+
+@functools.lru_cache(maxsize=1)
+def _fixture_templates() -> list[tuple]:
+    """Per-fixture envelope templates for the fused synthesis path.
+
+    For one fixture, every synthesized page differs only in (a) the way id
+    string and (b) the longitude values (shifted 0.2 deg per clone block);
+    the tag JSON, latitude reprs, and envelope framing are constant.  Each
+    template renders text BYTE-IDENTICAL to ``way_to_text`` (asserted at
+    build time against the real serializer for two clone values — template
+    drift fails loudly, not silently).
+
+    Returns per fixture: (base_id, tag_prefix, tag_suffix, base_lons,
+    lat_strs, const_cols) where const_cols maps every non-``id`` output tag
+    column to its (constant) parsed string value.
+    """
+    import json as _json
+
+    from ..sources.pages import parse_way_text, way_to_text
+
+    tag_columns = list(active_tag_columns())
+    out = []
+    for base_id, tags, coords in fixture_way_records():
+        tags_sent = dict(tags)
+        tags_sent["id"] = _WID_SENTINEL
+        tag_json = _json.dumps({k: v for k, v in sorted(tags_sent.items())
+                                if v is not None}, ensure_ascii=False)
+        if tag_json.count(_WID_SENTINEL) != 1:
+            raise AssertionError(f"sentinel collision in fixture {base_id}")
+        tag_prefix, tag_suffix = tag_json.split(_WID_SENTINEL)
+        base_lons = np.ascontiguousarray(coords[:, 0], dtype=float)
+        lat_strs = [repr(float(b)) for b in coords[:, 1]]
+        proto = parse_way_text(way_to_text(
+            base_id, dict(tags, id=base_id), coords.tolist()))
+        const_cols = {c: (None if proto.get(c) is None else str(proto[c]))
+                      for c in tag_columns if c != "id"}
+        out.append((base_id, tag_prefix, tag_suffix, base_lons, lat_strs,
+                    const_cols))
+
+    # template-vs-serializer byte identity, checked on real ids
+    from ..sources.pages import _ENVELOPE_HEAD, _ENVELOPE_TAIL, _filler
+    for fi in (0, len(out) - 1):
+        base_id, tp, ts, lons, lat_strs, _cc = out[fi]
+        _bid, tags, coords = fixture_way_records()[fi]
+        for clone in (0, 3):
+            wid = base_id if clone == 0 else f"{base_id}__d{clone}"
+            shifted = coords.copy()
+            shifted[:, 0] += 0.2 * clone
+            expect = way_to_text(wid, dict(tags, id=wid), shifted.tolist())
+            coord_json = "[" + ", ".join(
+                f"[{lon!r}, {ls}]" for lon, ls in
+                zip((lons + 0.2 * clone).tolist(), lat_strs)) + "]"
+            got = (f"{_ENVELOPE_HEAD}\nid: {wid}\ntags: {tp}{wid}{ts}\n"
+                   f"geom: {coord_json}\n{_ENVELOPE_TAIL}\n{_filler(wid)}\n")
+            if got != expect:
+                raise AssertionError(
+                    f"template drift for {wid}: {got[:120]!r} != "
+                    f"{expect[:120]!r}")
+    return out
+
+
 def ways_from_documents(docs: DataFrame) -> DataFrame:
     """Fused synthesis + extraction: doc_id -> page -> way row in ONE
     mapInPandas stage.
@@ -119,12 +182,19 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
     The per-row byte-identity invariant (BASELINE input_hint) is asserted
     inline: the envelope text is round-tripped through the same
     ``parse_way_text`` the unfused reader uses, and any mismatch raises.
+
+    Row assembly is grouped by fixture: within a batch the ~140 fixtures
+    each contribute a run of rows whose tag values are constant except
+    ``id``, so constant columns are filled by group assignment instead of
+    one 85-key dict per row, and envelope text renders from the per-fixture
+    template (`_fixture_templates`, byte-identical to ``way_to_text``).
     """
-    from ..sources.pages import parse_way_text
     from pyspark.sql import types as T
 
-    fixtures = fixture_way_records()
-    n_fix = len(fixtures)
+    from ..sources.pages import (_ENVELOPE_HEAD, _ENVELOPE_TAIL, _filler,
+                                 parse_way_text)
+
+    n_fix = len(fixture_way_records())
     tag_columns = list(active_tag_columns())
 
     fields = [T.StructField("url", T.StringType())]
@@ -138,30 +208,43 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
     out_schema = T.StructType(fields)
 
     def gen(batches):
+        templates = _fixture_templates()
         for pdf in batches:
-            recs = []
-            for doc_id in pdf["doc_id"]:
-                base_id, tags, coords = fixtures[int(doc_id) % n_fix]
-                clone = int(doc_id) // n_fix
-                wid = base_id if clone == 0 else f"{base_id}__d{clone}"
-                tags = dict(tags)
-                tags["id"] = wid
-                shifted = coords.copy()
-                shifted[:, 0] += 0.2 * clone
-                page = page_row(wid, tags, shifted.tolist())
-                rec = parse_way_text(page["text"])
-                if rec is None or rec.get("id") != wid:
-                    raise ValueError(
-                        f"byte-identity round trip failed for {page['url']}")
-                row = {"url": page["url"]}
-                for c in tag_columns:
-                    v = rec.get(c)
-                    row[c] = None if v is None else str(v)
-                row["geom_lonlat"] = np.asarray(
-                    rec.get("geom_lonlat"), dtype=float).ravel()
-                recs.append(row)
-            yield pd.DataFrame(
-                recs, columns=["url"] + tag_columns + ["geom_lonlat"])
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n = len(doc_ids)
+            fi = doc_ids % n_fix
+            clones = doc_ids // n_fix
+            cols: dict[str, np.ndarray] = {
+                c: np.empty(n, dtype=object)
+                for c in ("url", *tag_columns, "geom_lonlat")}
+            for f in np.unique(fi):
+                idx = np.nonzero(fi == f)[0]
+                base_id, tp, ts, base_lons, lat_strs, const_cols = \
+                    templates[int(f)]
+                for c, v in const_cols.items():
+                    cols[c][idx] = v
+                for i in idx:
+                    clone = int(clones[i])
+                    wid = (base_id if clone == 0
+                           else f"{base_id}__d{clone}")
+                    coord_json = "[" + ", ".join(
+                        f"[{lon!r}, {ls}]" for lon, ls in
+                        zip((base_lons + 0.2 * clone).tolist(),
+                            lat_strs)) + "]"
+                    text = (f"{_ENVELOPE_HEAD}\nid: {wid}\ntags: "
+                            f"{tp}{wid}{ts}\ngeom: {coord_json}\n"
+                            f"{_ENVELOPE_TAIL}\n{_filler(wid)}\n")
+                    rec = parse_way_text(text)
+                    if rec is None or rec.get("id") != wid:
+                        raise ValueError(
+                            f"byte-identity round trip failed for {wid}")
+                    cols["id"][i] = wid
+                    cols["url"][i] = f"https://fixture.test/way/{wid}"
+                    cols["geom_lonlat"][i] = np.asarray(
+                        rec["geom_lonlat"], dtype=float).ravel()
+            yield pd.DataFrame(cols,
+                               columns=["url"] + tag_columns
+                               + ["geom_lonlat"], copy=False)
 
     return docs.select("doc_id").mapInPandas(gen, out_schema)
 

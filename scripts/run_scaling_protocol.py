@@ -29,10 +29,14 @@ BENCH = os.path.join(ROOT, "scripts", "scaling_bench.py")
 
 
 def git_sha() -> str:
+    """Short sha of the last commit touching the measured code (cqi_engine
+    + the two bench scripts) — doc-only commits must not split the
+    cross-session min-of-N pool for identical engine code."""
     try:
-        return subprocess.run(["git", "-C", ROOT, "rev-parse", "--short",
-                               "HEAD"], capture_output=True, text=True,
-                              timeout=10).stdout.strip()
+        return subprocess.run(
+            ["git", "-C", ROOT, "log", "-1", "--format=%h", "--",
+             "cqi_engine", "scripts/scaling_bench.py"],
+            capture_output=True, text=True, timeout=10).stdout.strip()
     except OSError:
         return "unknown"
 
