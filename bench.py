@@ -99,7 +99,10 @@ def _scaling_artifact() -> dict | None:
              ("pair", "n_pages", "t_n_s", "t_4n_s", "speedup", "efficiency",
               "efficiency_vs_host_ceiling", "estimator")}
             | {"host_ceiling_efficiency":
-               (p.get("host_ceiling") or {}).get("ceiling_efficiency")}
+               (p.get("host_ceiling") or {}).get("ceiling_efficiency"),
+               "host_membw_ceiling":
+               ((p.get("host_ceiling") or {}).get("membw") or {})
+               .get("ceiling_efficiency")}
             for p in art.get("pairs", [])
         ],
     }
@@ -107,12 +110,15 @@ def _scaling_artifact() -> dict | None:
 
 def _scaling_summary(art: dict | None) -> list | None:
     """The few numbers the one-line JSON carries: per-pair efficiency plus
-    the pure-CPU host ceiling it is measured against."""
+    BOTH host controls (pure-CPU ceiling and memory-bandwidth ceiling) —
+    on this box the 8->32 engine pair tracks the membw control session by
+    session (see BASELINE.md), so the pair is unreadable without it."""
     if not art:
         return None
     return [
         {"pair": p.get("pair"), "efficiency": p.get("efficiency"),
-         "host_ceiling": p.get("host_ceiling_efficiency")}
+         "host_cpu_ceiling": p.get("host_ceiling_efficiency"),
+         "host_membw_ceiling": p.get("host_membw_ceiling")}
         for p in art.get("pairs", [])
     ]
 
