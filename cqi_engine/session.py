@@ -41,7 +41,11 @@ def build_session(app_name: str = "cqi-engine", master: str | None = None,
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test noise); the work-invariance protocol
+        # enables it to scrape per-stage byte metrics from /api/v1
+        .config("spark.ui.enabled",
+                os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.port", "0")
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Work-invariance evidence: the flagship moves the SAME bytes at N and 4N.
+
+The north rule's two-cluster-size criterion has two separable claims:
+(1) the plan does parallelism-independent work (no per-worker blowup in
+shuffle or input volume), and (2) the hardware turns that work into
+proportional wall-clock.  On this shared-memory-subsystem VM claim (2) is
+host-window-bound (see BASELINE.md); claim (1) is fully certifiable and
+this script records it: run the identical flagship job at local[8] and
+local[32] with the SAME shuffle-partition count, scrape Spark's /api/v1
+status REST API for per-stage input/shuffle-read/shuffle-write bytes, and
+require byte-equality within a small tolerance.  A plan whose shuffle
+bytes grew with worker count (per-worker replication, broadcast of
+unbounded relations) fails here regardless of host health.
+
+Writes WORKINV.json:
+
+    python scripts/work_invariance.py [--replicate 40] [--tolerance 0.05]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ["SPARK_GRAFT_UI"] = "true"
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def _rest(base: str, path: str):
+    with urllib.request.urlopen(f"{base}/api/v1/{path}", timeout=30) as r:
+        return json.load(r)
+
+
+def run_once(cpus: int, replicate: int, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from cqi_engine.operators.pipeline import score_way_table
+    from cqi_engine.session import build_session, ship_package
+    from cqi_engine.sources.webways import ways_from_documents
+
+    # SAME shuffle partitioning at both levels: this protocol isolates
+    # plan work from scheduling; the scaling protocol varies both.
+    spark = build_session("cqi-workinv", master=f"local[{cpus}]",
+                          shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = docs.count()
+    expanded = (docs.select("doc_id")
+                .crossJoin(F.broadcast(spark.range(replicate)
+                                       .select(F.col("id").alias("rep"))))
+                .select((F.col("doc_id") + F.col("rep") * F.lit(n_base))
+                        .alias("doc_id"))
+                .repartition(64))
+    # warm workers so byte metrics aren't polluted by import-time retries
+    score_way_table(ways_from_documents(docs.limit(64))).count()
+
+    stages_before = {s["stageId"] for s in _rest(ui, f"applications/{app_id}/stages")}
+
+    t0 = time.perf_counter()
+    n_scored = score_way_table(ways_from_documents(expanded)).count()
+    wall = time.perf_counter() - t0
+
+    totals = {"input_bytes": 0, "shuffle_read_bytes": 0,
+              "shuffle_write_bytes": 0, "input_records": 0,
+              "shuffle_write_records": 0, "executor_run_time_ms": 0,
+              "num_tasks": 0, "num_stages": 0}
+    for s in _rest(ui, f"applications/{app_id}/stages?status=complete"):
+        if s["stageId"] in stages_before:
+            continue
+        totals["num_stages"] += 1
+        totals["input_bytes"] += s.get("inputBytes", 0)
+        totals["input_records"] += s.get("inputRecords", 0)
+        totals["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+        totals["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+        totals["shuffle_write_records"] += s.get("shuffleWriteRecords", 0)
+        totals["executor_run_time_ms"] += s.get("executorRunTime", 0)
+        totals["num_tasks"] += s.get("numCompleteTasks", 0)
+    spark.stop()
+    return {"parallelism": cpus, "replicate": replicate,
+            "n_pages": n_base * replicate, "n_way_scores": n_scored,
+            "wall_s": round(wall, 2), **totals}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicate", type=int, default=40)
+    ap.add_argument("--tolerance", type=float, default=0.05)
+    ap.add_argument("--cpus", default="8,32")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    runs = [run_once(int(c), args.replicate, sf_dir)
+            for c in args.cpus.split(",")]
+    for r in runs:
+        print(json.dumps(r), flush=True)
+
+    lo, hi = runs[0], runs[-1]
+    checks = {}
+    ok = True
+    for key in ("input_bytes", "shuffle_read_bytes", "shuffle_write_bytes",
+                "shuffle_write_records", "input_records"):
+        a, b = lo[key], hi[key]
+        rel = abs(a - b) / max(a, b, 1)
+        checks[key] = {"lo": a, "hi": b, "rel_diff": round(rel, 4),
+                       "within_tolerance": rel <= args.tolerance}
+        ok = ok and rel <= args.tolerance
+    ok = ok and lo["n_way_scores"] == hi["n_way_scores"]
+
+    sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                         capture_output=True, text=True,
+                         cwd=ROOT).stdout.strip()
+    out = {
+        "generated_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "claim": ("identical logical work at both parallelism levels: "
+                  "per-stage input/shuffle byte+record totals equal within "
+                  "tolerance (same shuffle-partition count; only the "
+                  "executor thread count differs)"),
+        "tolerance": args.tolerance,
+        "result_rows_equal": lo["n_way_scores"] == hi["n_way_scores"],
+        "checks": checks,
+        "all_within_tolerance": ok,
+        "runs": runs,
+        "git_sha": sha,
+    }
+    path = os.path.join(ROOT, "WORKINV.json")
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"WORKINV.json written; all_within_tolerance={ok}", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
