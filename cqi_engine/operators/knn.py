@@ -149,20 +149,32 @@ def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
     if not verify or cell_size is None:
         return base
 
-    # the largest ring that can ever help: the Chebyshev spread of the
-    # two cell extents (beyond it the disk covers every indexed way)
-    ext = way_cells.agg(
-        F.min("cellx").alias("ax"), F.max("cellx").alias("bx"),
-        F.min("celly").alias("ay"), F.max("celly").alias("by")).collect()[0]
-    pext = points.agg(
-        F.min("cx").alias("ax"), F.max("cx").alias("bx"),
-        F.min("cy").alias("ay"), F.max("cy").alias("by")).collect()[0]
-    if ext["ax"] is None or pext["ax"] is None:
-        return base
-    ring_cap = max(abs(int(ext["bx"]) - int(pext["ax"])),
-                   abs(int(pext["bx"]) - int(ext["ax"])),
-                   abs(int(ext["by"]) - int(pext["ay"])),
-                   abs(int(pext["by"]) - int(ext["ay"]))) + 1
+    ring_cap_cache: list[int | None] = []
+
+    def ring_cap() -> int | None:
+        """Largest ring that can ever help: the Chebyshev spread of the
+        two cell extents (beyond it the disk covers every indexed way).
+        Computed lazily — the happy path (every point proven exact on the
+        first probe) never pays this job — and as ONE driver job (1x1
+        crossJoin of the two extent aggregates).  None = either side empty.
+        """
+        if not ring_cap_cache:
+            ext = way_cells.agg(
+                F.min("cellx").alias("ax"), F.max("cellx").alias("bx"),
+                F.min("celly").alias("ay"), F.max("celly").alias("by"))
+            pext = points.agg(
+                F.min("cx").alias("pax"), F.max("cx").alias("pbx"),
+                F.min("cy").alias("pay"), F.max("cy").alias("pby"))
+            r = ext.crossJoin(pext).collect()[0]
+            if r["ax"] is None or r["pax"] is None:
+                ring_cap_cache.append(None)
+            else:
+                ring_cap_cache.append(max(
+                    abs(int(r["bx"]) - int(r["pax"])),
+                    abs(int(r["pbx"]) - int(r["ax"])),
+                    abs(int(r["by"]) - int(r["pay"])),
+                    abs(int(r["pby"]) - int(r["ay"]))) + 1)
+        return ring_cap_cache[0]
 
     eps = 1e-6  # refine rounds dist to 6 dp; don't let rounding flip floor
     resolved = []
@@ -179,9 +191,6 @@ def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
         proven_ok = ((F.col("n") >= k) &
                      (F.floor((F.col("dk") + F.lit(eps)) / F.lit(cell_size))
                       + 1 <= F.lit(cur_ring)))
-        if cur_ring >= ring_cap:  # disk already covers the whole extent
-            resolved.append(cur)
-            break
         bad = stats.filter(~F.coalesce(proven_ok, F.lit(False))) \
             .select("pt_id",
                     F.when(F.col("n") >= k, F.floor(
@@ -193,9 +202,16 @@ def knn_ways(points: DataFrame, way_cells: DataFrame, k: int = 3,
             resolved.append(cur)
             bad.unpersist()
             break
+        cap = ring_cap()
+        if cap is None or cur_ring >= cap:
+            # disk already covers the whole extent: every flagged point has
+            # in fact seen every indexed way, so its ranking is exact
+            resolved.append(cur)
+            bad.unpersist()
+            break
         resolved.append(cur.join(bad.select("pt_id"), "pt_id", "left_anti"))
         need = int(agg["need"]) if agg["need"] is not None else 0
-        new_ring = min(ring_cap, max(need, cur_ring * 2))
+        new_ring = min(cap, max(need, cur_ring * 2))
         cur_points = points.join(bad.select("pt_id"), "pt_id", "inner")
         cur = _knn_probe(cur_points, way_cells, k, new_ring,
                          cell_mult).persist()
