@@ -49,24 +49,48 @@ def _steal_snapshot() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _bracket_membw_gbps(workers: int = 8, tasks: int = 8,
+                        n_bytes: int = 64 * 1024 * 1024) -> float:
+    """Short aggregate streaming-read probe (~0.5 GB of traffic).  Run
+    immediately before and after each engine run, it samples the host
+    bandwidth window the run actually saw — the per-SESSION mp.Pool
+    controls run minutes later, after the window has often shifted, which
+    is why session-level control-vs-engine correlations are noisy."""
+    t0 = time.perf_counter()
+    with mp.Pool(workers) as pool:
+        pool.map(_membw_probe_task, [n_bytes // 8] * tasks)
+    return round(tasks * n_bytes / (time.perf_counter() - t0) / 1e9, 2)
+
+
+def _membw_probe_task(n_floats: int) -> float:
+    import numpy as np
+    return float(np.add.reduce(np.ones(n_floats, dtype=np.float64)))
+
+
 def run_once(cpus: int, replicate: int, retries: int = 1) -> dict:
     """One scaling_bench subprocess; retried on failure (this VM's JVMs
     occasionally die under memory pressure / steal bursts — a crashed run
     carries no timing information, so a bounded retry is not cherry-pick).
-    Each run records the host steal fraction observed during its window."""
+    Each run records the host steal fraction observed during its window
+    plus a bracketing bandwidth probe (before/after) so every wall time
+    has an in-window host covariate."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_REPLICATE=str(replicate))
     last_err = None
     for attempt in range(retries + 1):
+        bw_pre = _bracket_membw_gbps()
         s0, t0 = _steal_snapshot()
         out = subprocess.run([sys.executable, BENCH], env=env,
                              capture_output=True, text=True, timeout=2400)
         s1, t1 = _steal_snapshot()
+        bw_post = _bracket_membw_gbps()
         lines = [ln for ln in out.stdout.splitlines()
                  if ln.startswith('{"harness"')]
         if out.returncode == 0 and lines:
             rec = json.loads(lines[-1])
             rec["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 1)
+            rec["membw_gbps_pre"] = bw_pre
+            rec["membw_gbps_post"] = bw_post
             return rec
         last_err = (out.stderr or out.stdout or "")[-2000:]
         print(f"  run local[{cpus}] R={replicate} attempt {attempt} FAILED "
