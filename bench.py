@@ -60,24 +60,37 @@ HEADLINE = [
 
 
 def _prior_round_times() -> tuple[str | None, dict]:
-    """Latest BENCH_r*.json per-query seconds, if any."""
+    """Per-query reference seconds: latest parseable BENCH_r*.json, else
+    the timings of the last successful local run (BENCH_DETAIL.json) —
+    round 2's driver record was `parsed: null`, which must not silently
+    disable the regression/retry logic."""
+    here = os.path.dirname(os.path.abspath(__file__))
     best: tuple[int, str] | None = None
-    for path in glob.glob(os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             n = int(m.group(1))
             if best is None or n > best[0]:
                 best = (n, path)
-    if best is None:
-        return None, {}
+    if best is not None:
+        try:
+            with open(best[1], encoding="utf-8") as fh:
+                rec = json.load(fh)
+            queries = (rec.get("parsed") or rec).get("queries") or {}
+            if queries:
+                return os.path.basename(best[1]), dict(queries)
+        except (OSError, ValueError):
+            pass
     try:
-        with open(best[1], encoding="utf-8") as fh:
-            rec = json.load(fh)
-        queries = (rec.get("parsed") or rec).get("queries") or {}
-        return os.path.basename(best[1]), dict(queries)
+        with open(os.path.join(here, "BENCH_DETAIL.json"),
+                  encoding="utf-8") as fh:
+            detail = json.load(fh)
+        timings = detail.get("timings") or {}
+        if timings:
+            return "BENCH_DETAIL.json", dict(timings)
     except (OSError, ValueError):
-        return None, {}
+        pass
+    return None, {}
 
 
 def _scaling_artifact() -> dict | None:
@@ -244,6 +257,7 @@ def main() -> None:
     }
     detail = {
         "rows": row_counts,
+        "timings": timings,
         "host_steal_pct_during_timed_loop": steal_pct,
         "host_membw_gbps_pre_post": [membw_pre, membw_post],
         "prior_round": prior_name,
