@@ -50,7 +50,7 @@ HEADLINE = [
     "ann_topk_blocked",
     "embed_neardup",
     "embed_neardup_lsh",
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     "fingerprint",
     "media_decode",
     "pricing_summary",

@@ -35,9 +35,6 @@ MINHASH_PRIME = (1 << 31) - 1
 MINHASH_PERMS = [(709 + 97 * j, 3571 + 131 * j) for j in range(16)]
 LSH_BANDS = 4  # 16 hashes -> 4 bands x 4 rows
 
-SIMHASH_BITS = 16
-
-
 def arr_lit(vals, dialect: str) -> str:
     if dialect == SPARK:
         return "array(" + ",".join(f"{v}L" for v in vals) + ")"
@@ -163,19 +160,34 @@ def band_keys(col: str, dialect: str) -> list[str]:
     return keys
 
 
-def simhash(col: str, dialect: str) -> str:
-    """16-bit SimHash over distinct-token polyhashes.
+SIMHASH60_BANDS = 4     # 4 bands x 15 bits; exact for hamming <= 3
+SIMHASH60_BAND_BITS = 15
 
-    bit_k = 1 iff sum over tokens of (2*bit_k(h)-1) > 0.
+
+def simhash60(ths: str, dialect: str) -> str:
+    """60-bit SimHash over a token-hash ARRAY column/expression.
+
+    Four affine mixes (MINHASH_PERMS[:4], mod 2^31-1) each contribute 15
+    bits; bit j of mix p sets 2^(15p+j) iff the majority of token hashes
+    have that bit set after mixing (bit_k = 1 iff sum of (2*bit_k(h)-1)
+    over tokens > 0 — Charikar 2002 with ±1 weights).  60 bits, not 64:
+    every value, band shift and xor stays inside a signed 64-bit bigint
+    in BOTH dialects (Spark ANSI and DuckDB error on overflow rather
+    than wrap).  Pass a pre-computed token-hash array column name so the
+    60 bit terms share one tokenization, not 60.
     """
-    hashes = token_hashes(col, dialect)
-    bit_terms = []
-    for k in range(SIMHASH_BITS):
-        shifted = lmap(hashes,
-                       f"h -> 2 * ((h div {1 << k}) % 2) - 1"
-                       if dialect == SPARK else
-                       f"h -> 2 * ((h // {1 << k}) % 2) - 1",
+    m = MINHASH_PRIME
+    terms = []
+    for p, (a, b) in enumerate(MINHASH_PERMS[:SIMHASH60_BANDS]):
+        mix = (f"h -> ({a}L * (h % {m}L) + {b}L) % {m}L"
+               if dialect == SPARK else
+               f"h -> ({a} * (h % {m}) + {b}) % {m}")
+        mixed = lmap(ths, mix, dialect)
+        div = "div" if dialect == SPARK else "//"
+        for j in range(SIMHASH60_BAND_BITS):
+            sgn = lmap(mixed, f"x -> 2 * ((x {div} {1 << j}) % 2) - 1",
                        dialect)
-        s = lsum(shifted, dialect)
-        bit_terms.append(f"(case when ({s}) > 0 then {1 << k} else 0 end)")
-    return "(" + " + ".join(bit_terms) + ")"
+            terms.append(
+                f"(case when ({lsum(sgn, dialect)}) > 0 "
+                f"then {1 << (SIMHASH60_BAND_BITS * p + j)} else 0 end)")
+    return "(" + " + ".join(terms) + ")"

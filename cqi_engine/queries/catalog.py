@@ -786,15 +786,69 @@ _reg(Query("dedup_minhash_lsh", ("documents",),
                "(persisted single-scan stages on the Spark side)"))
 
 
-def _dedup_simhash(d: str) -> str:
+def _simhash_sims(d: str) -> str:
+    """Per-doc 60-bit SimHash over one shared tokenization stage."""
+    return (f"select doc_id, {D.simhash60('ths', d)} as h60 "
+            f"from (select doc_id, {D.token_hashes('text', d)} as ths "
+            f"from documents) th")
+
+
+def _dedup_simhash_pairs_duck() -> str:
+    # exact all-pairs hamming join: the oracle both checks the SimHash
+    # arithmetic bit-for-bit and PROVES the Spark side's banding loses
+    # nothing (pigeonhole: <=3 flipped bits across 4 bands leave at
+    # least one band intact, so banded candidates are exhaustive).
     return f"""
-select doc_id, cast({D.simhash('text', d)} as bigint) as simhash16
-from documents
+with sims as ({_simhash_sims(DUCK)})
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.h60, b.h60)) as integer) as hamming
+from sims a join sims b on a.doc_id < b.doc_id
+where bit_count(xor(a.h60, b.h60)) <= 3
 """
 
 
-_sql_pair("dedup_simhash", ("documents",), _dedup_simhash,
-          "16-bit SimHash fingerprint per document")
+def _dedup_simhash_pairs_fn(spark, sf_dir: str):
+    """SimHash near-dup pair join, banded (Manku/Jain/Das Sarma, WWW'07).
+
+    Scale path: per-doc 60-bit SimHash (pure map), explode into 4
+    15-bit band keys, equi-join band collisions (never all-pairs),
+    verify candidates with bit_count(xor) <= 3.  Exact by pigeonhole —
+    the DuckDB oracle runs the genuine O(n^2) join and must match
+    bit-for-bit.  The sims stage is persisted so the band explode and
+    the two verify joins scan the corpus text exactly once."""
+    d = SPARK
+    sims = spark.sql(_simhash_sims(d)).persist()
+    sims.createOrReplaceTempView("sh_sims")
+    bb = D.SIMHASH60_BAND_BITS
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {i}, "
+        f"'band_val', (h60 div {1 << (bb * i)}) % {1 << bb})"
+        for i in range(D.SIMHASH60_BANDS))
+    spark.sql(f"""
+        select doc_id, b.band_idx, b.band_val
+        from sh_sims lateral view explode(array({band_structs})) t as b
+    """).createOrReplaceTempView("sh_bands")
+    return spark.sql("""
+        with cand as (
+          select distinct a.doc_id as doc_a, b.doc_id as doc_b
+          from sh_bands a join sh_bands b
+            on a.band_idx = b.band_idx and a.band_val = b.band_val
+           and a.doc_id < b.doc_id
+        )
+        select c.doc_a, c.doc_b,
+               cast(bit_count(sa.h60 ^ sb.h60) as int) as hamming
+        from cand c
+        join sh_sims sa on sa.doc_id = c.doc_a
+        join sh_sims sb on sb.doc_id = c.doc_b
+        where bit_count(sa.h60 ^ sb.h60) <= 3
+    """)
+
+
+_reg(Query("dedup_simhash_pairs", ("documents",),
+           fn=_dedup_simhash_pairs_fn,
+           duck_sql=_dedup_simhash_pairs_duck(),
+           doc="SimHash near-dup pairs: banded 60-bit hamming join, exact "
+               "for hamming<=3 (all-pairs oracle proves the banding)"))
 
 
 def _dgrams_expr(d: str) -> str:
