@@ -73,6 +73,97 @@ def decode_media_features(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(decode, MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_media(docs: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every media payload to ``width`` x ``height`` (binary->binary).
+
+    Real plumbing: opaque-binary in / opaque-binary out through one Arrow
+    mapInPandas pass, metadata recomputed on the way through — the shape a
+    thumbnailing / model-preprocessing stage has at scale (pure map, no
+    shuffle; partitioning is inherited).  STUB codec: the "resized" payload
+    is a deterministic function of (payload digest, target size) sized
+    proportionally to width*height, so tests can assert byte-exact output
+    without PIL.
+    """
+    src = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = _decode_payload(payload)
+                if HAVE_REAL_CODECS:  # pragma: no cover
+                    raise NotImplementedError("real resampler not available")
+                seed = hashlib.sha256(
+                    payload + f":{width}x{height}".encode()).digest()
+                n_out = max(16, (width * height) // 256)
+                fake = (seed * (n_out // len(seed) + 1))[:n_out]
+                rows.append({"doc_id": int(doc_id),
+                             "media_type": meta["media_type"],
+                             "width": width, "height": height,
+                             "payload": fake})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return src.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(docs: DataFrame, every_k: int = 24) -> DataFrame:
+    """Sample every k-th frame of each video payload (binary -> N rows).
+
+    Real plumbing: a 1->N fan-out inside mapInPandas (output batch shape
+    differs from input batch shape — the part Arrow makes non-obvious),
+    frame count taken from the decoded metadata, non-video rows dropped.
+    At scale this is still a narrow map: fan-out happens within the
+    partition, no shuffle, and the output row count is bounded by
+    n_frames/k per video.  STUB codec: frame bytes are sha256(payload,
+    frame_idx) — deterministic, so tests assert exact multiplicity and
+    content without libav.
+    """
+    src = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def frames(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = _decode_payload(payload)
+                if meta["media_type"] != "video/mp4":
+                    continue
+                if HAVE_REAL_CODECS:  # pragma: no cover
+                    raise NotImplementedError("real demuxer not available")
+                n = meta["n_frames"]
+                for idx in range(0, n, every_k):
+                    rows.append({
+                        "doc_id": int(doc_id), "frame_idx": idx,
+                        "n_frames": n,
+                        "frame": hashlib.sha256(
+                            payload + idx.to_bytes(4, "big")).digest()})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return src.mapInPandas(frames, FRAME_SCHEMA)
+
+
 def decode_media_features_flat(docs: DataFrame) -> DataFrame:
     """Driver-canonicalizable projection of :func:`decode_media_features`.
 

@@ -314,6 +314,65 @@ def test_media_decode_python_matches_sql_twin(spark):
             assert a[f"feature_{i}"] == b[f"feature_{i}"]
 
 
+def test_media_resize_plumbing(spark):
+    """resize_media: binary->binary Arrow map with recomputed metadata —
+    byte-deterministic, every row resized, no shuffle in the plan."""
+    import hashlib
+
+    from cqi_engine.operators.media import resize_media, _decode_payload
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = resize_media(docs, 128, 96)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    src = {r["doc_id"]: r["text"].encode() for r in
+           docs.select("doc_id", "text").collect()}
+    for doc_id, r in rows.items():
+        assert (r["width"], r["height"]) == (128, 96)
+        assert r["media_type"] == _decode_payload(src[doc_id])["media_type"]
+        seed = hashlib.sha256(src[doc_id] + b":128x96").digest()
+        n_out = max(16, (128 * 96) // 256)
+        assert bytes(r["payload"]) == (seed * (n_out // 32 + 1))[:n_out]
+    assert "Exchange" not in out._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
+def test_media_frame_sampling_plumbing(spark):
+    """sample_frames: 1->N fan-out inside mapInPandas — only video rows
+    survive, multiplicity is ceil(n_frames/k) exactly, frame bytes are the
+    documented digest, and the plan stays a narrow map (no Exchange)."""
+    import hashlib
+
+    from cqi_engine.operators.media import sample_frames, _decode_payload
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sample_frames(docs, every_k=40)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    src = {r["doc_id"]: r["text"].encode() for r in
+           docs.select("doc_id", "text").collect()}
+    n_videos = 0
+    for doc_id, payload in src.items():
+        meta = _decode_payload(payload)
+        if meta["media_type"] != "video/mp4":
+            assert doc_id not in got
+            continue
+        n_videos += 1
+        frames = sorted(got[doc_id], key=lambda r: r["frame_idx"])
+        expect_idx = list(range(0, meta["n_frames"], 40))
+        assert [f["frame_idx"] for f in frames] == expect_idx
+        for f in frames:
+            assert f["n_frames"] == meta["n_frames"]
+            assert bytes(f["frame"]) == hashlib.sha256(
+                payload + int(f["frame_idx"]).to_bytes(4, "big")).digest()
+    assert n_videos > 0 and set(got) == {
+        d for d, p in src.items()
+        if _decode_payload(p)["media_type"] == "video/mp4"}
+    assert "Exchange" not in out._jdf.queryExecution() \
+        .executedPlan().toString()
+
+
 def test_media_round_parity_exhaustive():
     """Python round(k/255, 6) (banker's) == SQL HALF_UP round for every
     possible byte value — the invariant the media_decode oracle rests on."""
