@@ -55,20 +55,32 @@ def main() -> None:
     args = ap.parse_args()
 
     deadline = time.time() + args.max_hours * 3600
+    streak = 0
     while time.time() < deadline:
         gbps = probe_gbps()
         stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds")
-        print(f"{stamp} probe {gbps} GB/s (threshold {args.min_gbps})",
-              flush=True)
+        print(f"{stamp} probe {gbps} GB/s (threshold {args.min_gbps}, "
+              f"streak {streak})", flush=True)
         if gbps >= args.min_gbps:
-            print(f"{stamp} window healthy -> running protocol", flush=True)
-            rc = subprocess.call(
-                [sys.executable,
-                 os.path.join(ROOT, "scripts", "run_scaling_protocol.py"),
-                 "--pairs", args.pairs, "--reps", str(args.reps)])
-            print(f"protocol exited rc={rc}", flush=True)
-            return
+            # one healthy probe is often a transient spike (a 2026-08-17
+            # session triggered on 4.09 GB/s and every run's bracket probe
+            # then read 0.05-2.4): require TWO healthy probes ~60 s apart
+            # before paying for a full protocol session.
+            streak += 1
+            if streak >= 2:
+                print(f"{stamp} window healthy x2 -> running protocol",
+                      flush=True)
+                rc = subprocess.call(
+                    [sys.executable,
+                     os.path.join(ROOT, "scripts",
+                                  "run_scaling_protocol.py"),
+                     "--pairs", args.pairs, "--reps", str(args.reps)])
+                print(f"protocol exited rc={rc}", flush=True)
+                return
+            time.sleep(60)
+            continue
+        streak = 0
         time.sleep(args.interval)
     print("deadline reached without a healthy window", flush=True)
 
