@@ -64,7 +64,8 @@ spark = build_session("consistency-cat", master=master, shuffle_partitions=5)
 spark.sparkContext.setLogLevel("ERROR")
 ship_package(spark)
 res = {}
-for name in ("knn_blocked", "embed_neardup", "ngram_jaccard"):
+for name in ("knn_blocked", "embed_neardup", "ngram_jaccard",
+             "dedup_simhash_pairs"):
     rows = run_query(spark, "/root/testdata/sf0.001", CATALOG[name]).collect()
     res[name] = sorted(sorted((k, str(v)) for k, v in r.asDict().items())
                        for r in rows)
@@ -83,9 +84,9 @@ def _catalog_rows(master: str, out_path: str) -> dict:
 
 
 def test_scale_paths_identical_across_parallelism(tmp_path):
-    """The round-2 scale-path operators (bounded-ring kNN, tiled-GEMM
-    near-dup, incidence-GEMM shingle Jaccard) must be partitioning-
-    independent: identical results at local[2] and local[8]."""
+    """The scale-path operators (bounded-ring kNN, tiled-GEMM near-dup,
+    incidence-GEMM shingle Jaccard, banded SimHash hamming join) must be
+    partitioning-independent: identical results at local[2] and local[8]."""
     a = _catalog_rows("local[2]", str(tmp_path / "a.json"))
     b = _catalog_rows("local[8]", str(tmp_path / "b.json"))
     for name in a:
