@@ -235,10 +235,14 @@ def main() -> None:
     # prior summary into pair_history (different days on this VM are
     # different host-steal regimes — superseded measurements stay visible,
     # never silently replaced).  Every raw run is kept.
-    measured = {p["pair"] for p in pair_summaries}
+    # key on (pair, replicate): the same worker pair at a different input
+    # size is a different workload (fixed-overhead amortization differs),
+    # so an R=800 session must not displace the R=200 summary.
+    measured = {(p["pair"], p.get("replicate")) for p in pair_summaries}
     prior_pairs = [p for p in prior.get("pairs", [])
-                   if p["pair"] not in measured]
-    superseded = [p for p in prior.get("pairs", []) if p["pair"] in measured]
+                   if (p["pair"], p.get("replicate")) not in measured]
+    superseded = [p for p in prior.get("pairs", [])
+                  if (p["pair"], p.get("replicate")) in measured]
     artifact = {
         "generated_utc": datetime.datetime.now(
             datetime.timezone.utc).isoformat(timespec="seconds"),
