@@ -179,6 +179,18 @@ def _steal_snapshot() -> tuple[int, int]:
         return 0, 1
 
 
+def compact_line(out: dict, limit: int = 1900) -> str:
+    """The ONE stdout line, kept under the round driver's bounded tail
+    window (round 2's oversized line was recorded as `parsed: null`).
+    Sheds the optional scaling summary first; the full record is always
+    in BENCH_DETAIL.json regardless."""
+    line = json.dumps(out)
+    if len(line) > limit:
+        out.pop("scaling", None)
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -272,11 +284,7 @@ def main() -> None:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
-    line = json.dumps(out)
-    if len(line) > 1900:  # driver tail-window guard: shed optional fields
-        out.pop("scaling", None)
-        line = json.dumps(out)
-    print(line)
+    print(compact_line(out))
     spark.stop()
 
 
