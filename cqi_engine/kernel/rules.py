@@ -696,8 +696,23 @@ def derive_mandatory(df: pd.DataFrame, way_type: pd.Series,
 # --------------------------------------------------------------------------
 
 def _py_round_series(s: pd.Series, nd: int) -> pd.Series:
-    """Element-wise Python round() (correctly-rounded decimal, banker's)."""
-    return s.map(lambda v: round(v, nd) if pd.notna(v) else np.nan)
+    """Element-wise Python round() (correctly-rounded decimal, banker's).
+
+    Rounds each DISTINCT value once and scatters back through factorize
+    codes: the rule tables and logistic curves emit few distinct factor
+    values even on huge corpora (values are functions of the bounded tag
+    vocabulary), so n Python-level round() calls become k (k = distinct
+    non-null values) with bit-identical output — the same round() call
+    decides every element.
+    """
+    arr = s.to_numpy(dtype=float, na_value=np.nan)
+    codes, uniq = pd.factorize(arr, use_na_sentinel=True)
+    rounded = np.fromiter((round(float(v), nd) for v in uniq),
+                          dtype=float, count=len(uniq))
+    out = np.full(len(arr), np.nan)
+    ok = codes >= 0
+    out[ok] = rounded[codes[ok]]
+    return pd.Series(out, index=s.index)
 
 
 def score(df: pd.DataFrame) -> pd.DataFrame:

@@ -95,3 +95,44 @@ def test_polyhash_python_model(s):
         for a, b in perms:
             mh = min((a * h + b) % ((1 << 31) - 1) for h in hashes)
             assert 0 <= mh < (1 << 31) - 1
+
+
+@given(st.lists(st.one_of(
+    st.floats(min_value=0.0, max_value=120.0),
+    st.just(float("nan")),
+    # decimal-boundary values where binary-scaling round (numpy) can
+    # disagree with Python's correctly-rounded decimal round()
+    st.sampled_from([0.125, 0.135, 2.675, 1.005, 0.015, 0.285, 66.666667,
+                     0.846, 99.995])),
+    min_size=0, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_py_round_series_matches_python_round(vals):
+    """_py_round_series rounds each distinct value once via factorize and
+    scatters back; it must stay element-for-element identical to the plain
+    per-element Python round() it replaces (F11 banker's-decimal parity)."""
+    import pandas as pd
+
+    from cqi_engine.kernel.rules import _py_round_series
+
+    s = pd.Series(vals, dtype=float)
+    for nd in (0, 2, 3):
+        got = _py_round_series(s, nd)
+        want = s.map(lambda v: round(v, nd) if pd.notna(v) else np.nan)
+        assert got.fillna(-999.0).equals(want.fillna(-999.0).astype(float))
+
+
+@given(st.lists(st.lists(st.tuples(lons, lats), min_size=1, max_size=5),
+                min_size=0, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_metric_batched_matches_per_way_transform(ways):
+    """_metric_batched (one Karney call per batch) must slice back to the
+    exact per-way _metric output it replaced in sample_points /
+    road_cell_index."""
+    from cqi_engine.operators.pipeline import _metric, _metric_batched
+
+    geoms = [np.array([c for pt in w for c in pt], dtype=float)
+             for w in ways]
+    M, offs = _metric_batched(np.array(geoms, dtype=object))
+    assert len(offs) == len(ways) + 1
+    for i, g in enumerate(geoms):
+        np.testing.assert_array_equal(M[offs[i]:offs[i + 1]], _metric(g))
