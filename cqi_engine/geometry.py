@@ -237,6 +237,73 @@ def segment_cells_clipped(coords: np.ndarray, cell_size: float,
     return {c: segs[idx] for c, idx in by_cell.items()}
 
 
+def segment_cells_clipped_batch(
+        M: np.ndarray, offs: np.ndarray, cell_size: float, pad: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Vectorized :func:`segment_cells_clipped` over a batch of polylines.
+
+    ``M`` is the (N, 2) concatenation of every way's metric vertices and
+    ``offs`` the (n_ways+1,) slice offsets (way w = ``M[offs[w]:offs[w+1]]``).
+    Returns ``(way, ix, iy, seg_splits)`` — one entry per (way, covered
+    cell) group, where ``seg_splits[g]`` is the (s, 4) segment array that
+    ``segment_cells_clipped`` would return for that way at cell
+    ``(ix[g], iy[g])`` (same segments, same order).  One numpy pass per
+    batch instead of one Python loop per segment.
+    """
+    offs = np.asarray(offs, dtype=np.int64)
+    npts = np.diff(offs)
+    n = len(npts)
+    if len(M) == 0 or n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, []
+    # regular segments: consecutive vertex pairs, cross-way pairs masked
+    mask = np.ones(max(len(M) - 1, 0), dtype=bool)
+    boundary = offs[1:-1] - 1
+    mask[boundary[(boundary >= 0) & (boundary < len(mask))]] = False
+    segs = np.hstack([M[:-1][mask], M[1:][mask]])
+    way = np.repeat(np.arange(n), np.maximum(npts - 1, 0))
+    # degenerate segment for single-vertex ways (mirrors the per-way form)
+    single = np.nonzero(npts == 1)[0]
+    if len(single):
+        c = M[offs[single]]
+        segs = np.vstack([segs, np.hstack([c, c])])
+        way = np.concatenate([way, single])
+        order = np.argsort(way, kind="stable")
+        segs, way = segs[order], way[order]
+    # dilated bbox -> covered cell ranges per segment
+    x0 = np.minimum(segs[:, 0], segs[:, 2]) - pad
+    x1 = np.maximum(segs[:, 0], segs[:, 2]) + pad
+    y0 = np.minimum(segs[:, 1], segs[:, 3]) - pad
+    y1 = np.maximum(segs[:, 1], segs[:, 3]) + pad
+    ix0 = np.floor(x0 / cell_size).astype(np.int64)
+    ix1 = np.floor(x1 / cell_size).astype(np.int64)
+    iy0 = np.floor(y0 / cell_size).astype(np.int64)
+    iy1 = np.floor(y1 / cell_size).astype(np.int64)
+    ny = iy1 - iy0 + 1
+    counts = (ix1 - ix0 + 1) * ny
+    total = int(counts.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e, []
+    rep = np.repeat(np.arange(len(segs)), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    k = np.arange(total) - np.repeat(starts, counts)
+    nyr = ny[rep]
+    ix = ix0[rep] + k // nyr
+    iy = iy0[rep] + k % nyr
+    wayr = way[rep]
+    # group by (way, ix, iy); rep ascending keeps segment order in-group
+    order = np.lexsort((rep, iy, ix, wayr))
+    wayr, ix, iy, rep = wayr[order], ix[order], iy[order], rep[order]
+    new = np.empty(total, dtype=bool)
+    new[:1] = True
+    new[1:] = ((wayr[1:] != wayr[:-1]) | (ix[1:] != ix[:-1])
+               | (iy[1:] != iy[:-1]))
+    g_start = np.nonzero(new)[0]
+    seg_splits = np.split(segs[rep], g_start[1:])
+    return wayr[g_start], ix[g_start], iy[g_start], seg_splits
+
+
 def segment_bbox_cells(coords: np.ndarray, cell_size: float,
                        pad: float) -> set[tuple[int, int]]:
     """All (ix, iy) grid cells whose box dilated by `pad` touches the line.

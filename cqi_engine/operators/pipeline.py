@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from .. import config as C
 from ..geometry import (lonlat_to_metric, points_to_segments_dist,
-                        sample_points_along, segment_cells_clipped)
+                        sample_points_along, segment_cells_clipped_batch)
 from ..kernel import rules
 from ..kernel.offsets import run_offset_stage
 from ..kernel.sidepath import determine_maxspeed_value
@@ -149,36 +149,51 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
     """
     csize = cells.cell_size(cells.JOIN_RES)
 
+    def _float_or_none(vals: np.ndarray) -> np.ndarray:
+        """Python-float() per DISTINCT value (tag vocab is tiny), scattered
+        back — identical semantics to the old per-row try/float."""
+        codes, uniq = pd.factorize(vals)
+        conv = []
+        for v in uniq:
+            try:
+                conv.append(float(v) if v not in (None, "") else None)
+            except (TypeError, ValueError):
+                conv.append(None)
+        conv.append(None)  # factorize code -1 (null) -> None
+        return np.array(conv, dtype=object)[codes]
+
     def gen(batches):
+        cols = ("road_id", "road_highway", "road_name", "road_maxspeed",
+                "road_layer", "cell", "road_geom")
         for pdf in batches:
-            rows = {k: [] for k in ("road_id", "road_highway", "road_name",
-                                    "road_maxspeed", "road_layer", "cell",
-                                    "road_geom")}
             M, offs = _metric_batched(pdf["geom_flat"].to_numpy(object))
-            for i, (rid, hw, name, ms, layer) in enumerate(zip(
-                    pdf["id"], pdf["highway"], pdf["name"], pdf["maxspeed"],
-                    pdf["layer"])):
-                metric = M[offs[i]:offs[i + 1]]
-                try:
-                    msv = float(ms) if ms not in (None, "") else None
-                except (TypeError, ValueError):
-                    msv = None
-                clipped = segment_cells_clipped(
-                    metric, csize, C.SIDEPATH_BUFFER_SIZE_M)
-                for (ix, iy), segs in clipped.items():
-                    rows["road_id"].append(rid)
-                    rows["road_highway"].append(hw)
-                    rows["road_name"].append(name)
-                    rows["road_maxspeed"].append(msv)
-                    rows["road_layer"].append(layer)
-                    rows["cell"].append(
-                        (cells.JOIN_RES * cells.SHIFT + ix + cells.OFFSET)
-                        * cells.SHIFT + iy + cells.OFFSET)
-                    # cell-relative flat float32 payload (see schema note)
-                    rel = segs - np.array([ix, iy, ix, iy], dtype=float) * csize
-                    rows["road_geom"].append(
-                        np.ascontiguousarray(rel, dtype=np.float32).ravel())
-            yield pd.DataFrame(rows)
+            wayg, ixg, iyg, splits = segment_cells_clipped_batch(
+                M, offs, csize, C.SIDEPATH_BUFFER_SIZE_M)
+            if not splits:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            msv = _float_or_none(pdf["maxspeed"].to_numpy(object))
+            cellv = ((cells.JOIN_RES * cells.SHIFT + ixg + cells.OFFSET)
+                     * cells.SHIFT + iyg + cells.OFFSET)
+            # cell-relative flat float32 payload (see schema note), built in
+            # one pass over the concatenated segments and re-split per row
+            sizes = np.fromiter((len(s) for s in splits), dtype=np.int64,
+                                count=len(splits))
+            offvec = (np.column_stack([ixg, iyg, ixg, iyg]).astype(float)
+                      * csize)
+            rel = (np.concatenate(splits)
+                   - np.repeat(offvec, sizes, axis=0)).astype(np.float32)
+            geoms = np.empty(len(splits), dtype=object)
+            geoms[:] = np.split(rel.reshape(-1), 4 * np.cumsum(sizes)[:-1])
+            yield pd.DataFrame({
+                "road_id": pdf["id"].to_numpy(object)[wayg],
+                "road_highway": pdf["highway"].to_numpy(object)[wayg],
+                "road_name": pdf["name"].to_numpy(object)[wayg],
+                "road_maxspeed": msv[wayg],
+                "road_layer": pdf["layer"].to_numpy(object)[wayg],
+                "cell": cellv,
+                "road_geom": geoms,
+            })
 
     return roads.select("id", "highway", "name", "maxspeed", "layer",
                         _flat_geom(roads)).mapInPandas(gen, _ROAD_CELLS_SCHEMA)
@@ -427,7 +442,11 @@ def score_batches(ways_with_sidepath: DataFrame,
     zero shuffles; reuses the golden-verified kernel.  ``offset_distance``
     flows to the G2 offset stage (None = config default = 0, the golden
     contract; 'realistic'/numeric = data-defined offsets)."""
-    from ..kernel.pipeline import _post_sidepath_stages  # local to avoid cycle
+    # local import to avoid cycle; grouped = dictionary-encoded evaluation
+    # (one kernel pass per DISTINCT attribute tuple per batch, scatter back
+    # — falls back to direct evaluation on low-duplication batches; proven
+    # row-identical by tests/test_grouped_eval.py)
+    from ..kernel.pipeline import post_sidepath_stages_grouped
 
     int_cols = [f.name for f in OUTPUT_SCHEMA.fields
                 if isinstance(f.dataType, T.IntegerType)]
@@ -436,7 +455,8 @@ def score_batches(ways_with_sidepath: DataFrame,
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = _post_sidepath_stages(pdf, offset_distance=offset_distance)
+            out = post_sidepath_stages_grouped(
+                pdf, offset_distance=offset_distance)
             for c in int_cols:
                 out[c] = pd.array(out[c], dtype="Int32")
             yield out

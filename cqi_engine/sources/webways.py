@@ -124,8 +124,12 @@ def _fixture_templates() -> list[tuple]:
     drift fails loudly, not silently).
 
     Returns per fixture: (base_id, tag_prefix, tag_suffix, base_lons,
-    lat_strs, const_cols) where const_cols maps every non-``id`` output tag
-    column to its (constant) parsed string value.
+    lat_strs, const_cols, base_lats) where const_cols maps every non-``id``
+    output tag column to its (constant) parsed string value and base_lats
+    are the latitudes exactly as the envelope parser would return them
+    (``float(lat_str)`` — the same conversion ``json.loads`` applies to a
+    plain number token, so direct geometry assembly from (shifted lons,
+    base_lats) is bit-identical to rendering + re-parsing the text).
     """
     import json as _json
 
@@ -147,13 +151,14 @@ def _fixture_templates() -> list[tuple]:
             base_id, dict(tags, id=base_id), coords.tolist()))
         const_cols = {c: (None if proto.get(c) is None else str(proto[c]))
                       for c in tag_columns if c != "id"}
+        base_lats = np.array([float(ls) for ls in lat_strs], dtype=float)
         out.append((base_id, tag_prefix, tag_suffix, base_lons, lat_strs,
-                    const_cols))
+                    const_cols, base_lats))
 
     # template-vs-serializer byte identity, checked on real ids
     from ..sources.pages import _ENVELOPE_HEAD, _ENVELOPE_TAIL, _filler
     for fi in (0, len(out) - 1):
-        base_id, tp, ts, lons, lat_strs, _cc = out[fi]
+        base_id, tp, ts, lons, lat_strs, _cc, _bl = out[fi]
         _bid, tags, coords = fixture_way_records()[fi]
         for clone in (0, 3):
             wid = base_id if clone == 0 else f"{base_id}__d{clone}"
@@ -179,9 +184,13 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
     The unfused path materializes the full pages table (html bytes + text)
     through an extra Arrow round trip just so the next stage can parse it
     back; fusing removes a stage and halves the Python-boundary traffic.
-    The per-row byte-identity invariant (BASELINE input_hint) is asserted
-    inline: the envelope text is round-tripped through the same
-    ``parse_way_text`` the unfused reader uses, and any mismatch raises.
+    The byte-identity invariant (BASELINE input_hint) stays live at run
+    time: per fixture per batch, the clone-extreme rows' envelope text is
+    rendered and round-tripped through the same ``parse_way_text`` the
+    unfused reader uses (geometry pinned to the direct assembly), and any
+    mismatch raises; every row of every fixture is additionally covered by
+    `tests/test_spark_pipeline.py::test_text_byte_identity` against the
+    unfused path.
 
     Row assembly is grouped by fixture: within a batch the ~140 fixtures
     each contribute a run of rows whose tag values are constant except
@@ -219,14 +228,32 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
                 for c in ("url", *tag_columns, "geom_lonlat")}
             for f in np.unique(fi):
                 idx = np.nonzero(fi == f)[0]
-                base_id, tp, ts, base_lons, lat_strs, const_cols = \
-                    templates[int(f)]
+                base_id, tp, ts, base_lons, lat_strs, const_cols, \
+                    base_lats = templates[int(f)]
                 for c, v in const_cols.items():
                     cols[c][idx] = v
-                for i in idx:
-                    clone = int(clones[i])
-                    wid = (base_id if clone == 0
-                           else f"{base_id}__d{clone}")
+                cl = clones[idx]
+                wids = [base_id if c == 0 else f"{base_id}__d{c}"
+                        for c in cl.tolist()]
+                cols["id"][idx] = np.array(wids, dtype=object)
+                cols["url"][idx] = np.array(
+                    [f"https://fixture.test/way/{w}" for w in wids],
+                    dtype=object)
+                # direct geometry assembly — bit-identical to rendering the
+                # envelope and re-parsing it (json.loads(repr(x)) == x for
+                # float64; base_lats carries the parser's float(lat_str))
+                npts = len(base_lons)
+                g = np.empty((len(idx), 2 * npts), dtype=float)
+                g[:, 0::2] = base_lons[None, :] + 0.2 * cl[:, None]
+                g[:, 1::2] = base_lats[None, :]
+                cols["geom_lonlat"][idx] = list(g)
+                # live byte-identity invariant, sampled at the clone
+                # extremes of this fixture in this batch: render the full
+                # envelope text, re-parse it with the unfused reader's
+                # parser, and pin the directly-assembled geometry to the
+                # parsed one — template or float-repr drift fails loudly
+                for j in {int(np.argmin(cl)), int(np.argmax(cl))}:
+                    clone, wid = int(cl[j]), wids[j]
                     coord_json = "[" + ", ".join(
                         f"[{lon!r}, {ls}]" for lon, ls in
                         zip((base_lons + 0.2 * clone).tolist(),
@@ -235,13 +262,12 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
                             f"{tp}{wid}{ts}\ngeom: {coord_json}\n"
                             f"{_ENVELOPE_TAIL}\n{_filler(wid)}\n")
                     rec = parse_way_text(text)
-                    if rec is None or rec.get("id") != wid:
+                    if (rec is None or rec.get("id") != wid
+                            or not np.array_equal(
+                                np.asarray(rec["geom_lonlat"],
+                                           dtype=float).ravel(), g[j])):
                         raise ValueError(
                             f"byte-identity round trip failed for {wid}")
-                    cols["id"][i] = wid
-                    cols["url"][i] = f"https://fixture.test/way/{wid}"
-                    cols["geom_lonlat"][i] = np.asarray(
-                        rec["geom_lonlat"], dtype=float).ravel()
             yield pd.DataFrame(cols,
                                columns=["url"] + tag_columns
                                + ["geom_lonlat"], copy=False)

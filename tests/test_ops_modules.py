@@ -684,3 +684,33 @@ def test_realistic_offsets_through_spark_pipeline(spark):
     # centerline rows have no offset attribute (golden contract: only
     # synthesized side rows carry one)
     assert got[("w1", None)] is None and got[("w2", None)] is None
+
+
+def test_fused_ways_match_unfused_extract_bitwise(spark):
+    """The fused doc_id -> way synthesis (direct geometry assembly from the
+    per-fixture template) must equal the unfused pages -> extract_ways path
+    row-for-row, geometry bit-exact, across clone blocks (clone 0, 1, 2)."""
+    from cqi_engine.sources.pages import extract_ways
+    from cqi_engine.sources.webways import (active_tag_columns,
+                                            fixture_way_records,
+                                            pages_from_documents,
+                                            ways_from_documents)
+
+    n_fix = len(fixture_way_records())
+    docs = spark.range(0, 2 * n_fix + 17).withColumnRenamed("id", "doc_id")
+
+    fused = {r["url"]: r for r in ways_from_documents(docs).collect()}
+    unfused = {r["url"]: r
+               for r in extract_ways(pages_from_documents(docs),
+                                     list(active_tag_columns())).collect()}
+    assert set(fused) == set(unfused) and len(fused) == 2 * n_fix + 17
+
+    tag_cols = list(active_tag_columns())
+    for url, fr in fused.items():
+        ur = unfused[url]
+        for c in tag_cols:
+            assert fr[c] == ur[c], (url, c, fr[c], ur[c])
+        flat_unfused = np.asarray(
+            [v for pt in ur["geom_lonlat"] for v in pt], dtype=float)
+        np.testing.assert_array_equal(
+            np.asarray(fr["geom_lonlat"], dtype=float), flat_unfused)

@@ -136,3 +136,35 @@ def test_metric_batched_matches_per_way_transform(ways):
     assert len(offs) == len(ways) + 1
     for i, g in enumerate(geoms):
         np.testing.assert_array_equal(M[offs[i]:offs[i + 1]], _metric(g))
+
+
+@given(st.lists(st.lists(st.tuples(
+    st.floats(min_value=-1000.0, max_value=1000.0),
+    st.floats(min_value=-1000.0, max_value=1000.0)),
+    min_size=0, max_size=6), min_size=0, max_size=10))
+@settings(max_examples=80, deadline=None)
+def test_segment_cells_clipped_batch_matches_per_way(ways):
+    """segment_cells_clipped_batch must reproduce segment_cells_clipped
+    per way exactly: same covered cells, same segments in the same order."""
+    from cqi_engine.geometry import (segment_cells_clipped,
+                                     segment_cells_clipped_batch)
+
+    cell, pad = 250.0, 22.0
+    geoms = [np.asarray(w, dtype=float).reshape(-1, 2) for w in ways]
+    offs = np.concatenate([[0], np.cumsum([len(g) for g in geoms])]) \
+        .astype(np.int64)
+    M = (np.concatenate(geoms) if any(len(g) for g in geoms)
+         else np.empty((0, 2)))
+    wayg, ixg, iyg, splits = segment_cells_clipped_batch(M, offs, cell, pad)
+    got = {}
+    for w, ix, iy, segs in zip(wayg, ixg, iyg, splits):
+        got[(int(w), int(ix), int(iy))] = segs
+    want = {}
+    for wi, g in enumerate(geoms):
+        if len(g) == 0:
+            continue
+        for (ix, iy), segs in segment_cells_clipped(g, cell, pad).items():
+            want[(wi, int(ix), int(iy))] = segs
+    assert set(got) == set(want)
+    for key, segs in want.items():
+        np.testing.assert_array_equal(got[key], segs)
