@@ -174,6 +174,30 @@ def _signature_codes(df: pd.DataFrame,
     return codes.astype(np.int64), first
 
 
+def grouped_scatter_plan(codes: np.ndarray, k: int, out_sig: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Index math shared by the pandas and Arrow grouped-eval paths.
+
+    ``codes`` maps each of n input rows to its signature; ``out_sig`` maps
+    each kernel output row to the signature it came from.  Returns
+    ``(order, take, rep_row)``: sort the kernel output by ``order`` (stable,
+    by signature), then ``sorted_output.take(take)`` scatters each input
+    row's whole block, and ``rep_row[j]`` is the input row that produced
+    scattered row j (for per-row passthrough columns like ``id``).
+    """
+    n = len(codes)
+    order = np.argsort(out_sig, kind="stable")
+    counts = np.bincount(out_sig[order], minlength=k)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    row_counts = counts[codes]
+    total = int(row_counts.sum())
+    rep_row = np.repeat(np.arange(n), row_counts)
+    within = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(row_counts)[:-1]]), row_counts)
+    take = starts[codes][rep_row] + within
+    return order, take, rep_row
+
+
 def post_sidepath_stages_grouped(df: pd.DataFrame,
                                  offset_distance=None) -> pd.DataFrame:
     """_post_sidepath_stages evaluated once per distinct attribute tuple.
@@ -196,18 +220,8 @@ def post_sidepath_stages_grouped(df: pd.DataFrame,
     out_rep = _post_sidepath_stages(rep, project=False,
                                     offset_distance=offset_distance)
     out_sig = out_rep["__sig"].to_numpy(dtype=np.int64)
-    order = np.argsort(out_sig, kind="stable")
+    order, take, rep_row = grouped_scatter_plan(codes, k, out_sig)
     blocks = final_projection(out_rep.iloc[order].reset_index(drop=True))
-    out_sig = out_sig[order]
-    counts = np.bincount(out_sig, minlength=k)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-
-    row_counts = counts[codes]
-    total = int(row_counts.sum())
-    rep_row = np.repeat(np.arange(n), row_counts)
-    within = np.arange(total) - np.repeat(
-        np.concatenate([[0], np.cumsum(row_counts)[:-1]]), row_counts)
-    take = starts[codes][rep_row] + within
     final = blocks.take(take).reset_index(drop=True)
     final["id"] = df["id"].to_numpy(dtype=object)[rep_row]
     return final

@@ -23,6 +23,8 @@ the exact code path proven bit-for-bit against the reference golden corpus.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -365,7 +367,11 @@ def sidepath_aggregates(points: DataFrame, pairs: DataFrame) -> DataFrame:
 def apply_sidepath_spark(ways: DataFrame, agg: DataFrame) -> DataFrame:
     """Writeback (ref:cycling_quality_index.py:175-251) as expressions."""
     joined = ways.join(agg, ways["id"] == agg["way_id"], "left")
+    return _sidepath_writeback(joined)
 
+
+def _sidepath_writeback(joined: DataFrame) -> DataFrame:
+    """proc_* writeback expressions over an already-joined ways⋈agg row."""
     is_path = F.col("highway").isin(C.PATH_HIGHWAYS)
     threshold = F.lit(2.0) / F.lit(3.0) * F.col("checks")
     majority = (
@@ -441,27 +447,229 @@ def score_batches(ways_with_sidepath: DataFrame,
     """Offset explode + deletes + way type + rules + score per Arrow batch —
     zero shuffles; reuses the golden-verified kernel.  ``offset_distance``
     flows to the G2 offset stage (None = config default = 0, the golden
-    contract; 'realistic'/numeric = data-defined offsets)."""
-    # local import to avoid cycle; grouped = dictionary-encoded evaluation
-    # (one kernel pass per DISTINCT attribute tuple per batch, scatter back
-    # — falls back to direct evaluation on low-duplication batches; proven
-    # row-identical by tests/test_grouped_eval.py)
-    from ..kernel.pipeline import post_sidepath_stages_grouped
+    contract; 'realistic'/numeric = data-defined offsets).
+
+    Arrow-native grouped evaluation: the stage runs as ``mapInArrow`` and
+    dictionary-encodes every attribute column C++-side to find the batch's
+    distinct tuples; only the k representative rows ever become pandas
+    objects.  The kernel output (one row block per signature) is scattered
+    back with ``pyarrow.Table.take`` — for the duplicated majority of a
+    web corpus no per-row Python object is created at all, which is both
+    the single-core win and the memory-bandwidth win (object churn was the
+    stage's multicore bottleneck).  Row-identical to the pandas path
+    (tests/test_grouped_eval.py); low-duplication batches fall back to the
+    direct kernel.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    # local import to avoid cycle
+    from ..kernel.pipeline import (_GROUP_MIN_DUP, _GROUP_MIN_ROWS,
+                                   _post_sidepath_stages, final_projection,
+                                   grouped_scatter_plan)
 
     int_cols = [f.name for f in OUTPUT_SCHEMA.fields
                 if isinstance(f.dataType, T.IntegerType)]
+    arrow_out = to_arrow_schema(OUTPUT_SCHEMA)
+    out_names = list(arrow_out.names)
+
+    def to_out_table(out_pdf: pd.DataFrame) -> pa.Table:
+        for c in int_cols:
+            out_pdf[c] = pd.array(out_pdf[c], dtype="Int32")
+        return pa.Table.from_pandas(out_pdf[out_names], schema=arrow_out,
+                                    preserve_index=False)
+
+    # the kernel is a long chain of vectorized pandas stages whose cost is
+    # dominated by per-CALL fixed overhead, not rows — buffer incoming Arrow
+    # batches to this many rows per kernel invocation (memory: ~tens of MB
+    # of Arrow buffers per worker, bounded)
+    target_rows = int(os.environ.get("SPARK_GRAFT_SCORE_BATCH_ROWS",
+                                     "131072"))
+
+    def process(tbl: pa.Table):
+        n = tbl.num_rows
+        names = tbl.schema.names
+        if n < _GROUP_MIN_ROWS or "id" not in names:
+            out = _post_sidepath_stages(
+                tbl.to_pandas(), offset_distance=offset_distance)
+            yield from to_out_table(out).to_batches()
+            return
+        tbl = tbl.combine_chunks()
+        # mixed-radix signature codes from C++ dictionary encodes
+        # (same recompress-before-overflow scheme as _signature_codes;
+        # Arrow distinctness is at least as fine as pandas factorize —
+        # rows sharing a signature are bit-identical tuples)
+        sig = np.zeros(n, dtype=np.int64)
+        card = 1
+        for i, name in enumerate(names):
+            if name == "id":
+                continue
+            denc = pc.dictionary_encode(tbl.column(i).chunk(0))
+            k_c = len(denc.dictionary) + 1
+            codes_c = denc.indices.fill_null(-1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if card > (1 << 62) // max(k_c, 1):
+                sig = pd.factorize(sig)[0].astype(np.int64)
+                card = int(sig.max()) + 1 if n else 1
+            sig = sig * k_c + (codes_c + 1)
+            card *= k_c
+        codes = pd.factorize(sig)[0].astype(np.int64)
+        first = np.unique(codes, return_index=True)[1]
+        k = len(first)
+        if k * _GROUP_MIN_DUP >= n:
+            out = _post_sidepath_stages(
+                tbl.to_pandas(), offset_distance=offset_distance)
+            yield from to_out_table(out).to_batches()
+            return
+        rep = tbl.take(pa.array(first, type=pa.int64())).to_pandas()
+        rep["__sig"] = np.arange(k, dtype=np.int64)
+        out_rep = _post_sidepath_stages(rep, project=False,
+                                        offset_distance=offset_distance)
+        out_sig = out_rep["__sig"].to_numpy(dtype=np.int64)
+        order, take, rep_row = grouped_scatter_plan(codes, k, out_sig)
+        blocks = final_projection(
+            out_rep.iloc[order].reset_index(drop=True))
+        blk_tbl = to_out_table(blocks)
+        out_tbl = blk_tbl.take(pa.array(take, type=pa.int64()))
+        ids = pc.take(tbl.column(names.index("id")),
+                      pa.array(rep_row, type=pa.int64()))
+        out_tbl = out_tbl.set_column(
+            out_tbl.schema.get_field_index("id"), arrow_out.field("id"),
+            ids)
+        yield from out_tbl.to_batches()
 
     def run(batches):
-        for pdf in batches:
-            if not len(pdf):
+        buf: list = []
+        brows = 0
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            out = post_sidepath_stages_grouped(
-                pdf, offset_distance=offset_distance)
-            for c in int_cols:
-                out[c] = pd.array(out[c], dtype="Int32")
-            yield out
+            buf.append(rb)
+            brows += rb.num_rows
+            if brows >= target_rows:
+                yield from process(pa.Table.from_batches(buf))
+                buf, brows = [], 0
+        if buf:
+            yield from process(pa.Table.from_batches(buf))
 
-    return ways_with_sidepath.mapInPandas(run, OUTPUT_SCHEMA)
+    return ways_with_sidepath.mapInArrow(run, OUTPUT_SCHEMA)
+
+
+# distinguishes NULL from empty/absent in the signature hash: Spark's
+# xxhash64 skips null inputs entirely (so (null,"x") and ("x",null) would
+# otherwise collide by construction); coalescing every column to a sentinel
+# makes each column position contribute.  A data value equal to the sentinel
+# only risks a collision, and collisions are detected exactly (below).
+_SIG_NULL_SENTINEL = "\x00\x00cqi:null"
+
+
+def _signature_col(key_cols: list[str]):
+    return F.xxhash64(*[F.coalesce(F.col(c).cast("string"),
+                                   F.lit(_SIG_NULL_SENTINEL))
+                        for c in key_cols])
+
+
+# sidepath-aggregation columns that (with the tag tuple) fully determine the
+# scoring kernel's input row — way_id only through its null-ness (the
+# writeback tests `way_id IS NULL`), ms_map through a canonical sorted-entry
+# rendering (collect_list order is nondeterministic; the MAP value is not)
+_AGG_SCALARS = ("checks", "id_sum", "hw_sum", "name_sum",
+                "argmax_hw", "mode_name")
+
+
+def score_distinct_join(slim: DataFrame, agg: DataFrame,
+                        offset_distance=None,
+                        min_dup: float = 4.0,
+                        broadcast_tags_below: int = 2_000_000) -> DataFrame:
+    """Scoring via JVM-side tuple dedup + narrow signature joins.
+
+    The kernel is a pure function of (tag tuple, sidepath aggregates), so
+    instead of shipping every row's ~85 string columns through joins and
+    the Arrow/Python boundary, the wide columns stop at the persisted
+    ``ways`` table: distinct tag tuples are found JVM-side
+    (``dropDuplicates`` = hash aggregate with map-side combine — on a
+    duplicate-heavy web corpus the shuffle carries ~k rows, not n), every
+    downstream relation carries only a 64-bit tag signature, and the k
+    distinct (tag, aggregates) combinations are scored once in Python,
+    fanning back out through a narrow equi-join on the combined signature.
+
+    Exactness: the hashes are trusted only after verifying they are
+    collision-free ON THE DISTINCT SETS (count(distinct tuples) ==
+    count(distinct sigs) — any two distinct tuples colliding anywhere in
+    the corpus would collide there too); a collision, or a corpus with
+    <``min_dup``× duplication where this plan wouldn't pay, falls back to
+    the direct Arrow-grouped path.  No unbounded broadcast: the tag
+    dictionary is broadcast only while its measured distinct count is
+    under ``broadcast_tags_below``, else it joins shuffle-hash; the
+    scattering join is hinted ``shuffle_hash`` (UDF output is unsizable
+    to Catalyst).
+
+    MEASURED NEGATIVE at the surrogate scale — kept as an operator, not
+    the default.  At sf0.1×100 on this single box the plan is row-identical
+    but slower than the Arrow-grouped default (local[1]: 50.8 s vs 47.5 s;
+    local[4]: 27.0 s vs 18.6 s): its five extra driver actions
+    (distinct/collision counts, narrow persist) and the Janino compile of
+    the wide signature+writeback codegen are SERIAL costs that dwarf the
+    ~9 s of Arrow transfer it removes, and they do not shrink with added
+    cores.  The crossover needs the per-partition Python boundary cost to
+    dominate those fixed costs — i.e. orders of magnitude more rows per
+    driver action than the surrogate runs (true for a 1000-executor
+    corpus, false here).  ``score_way_table`` therefore defaults to
+    ``score_batches``; this plan stays available, identity-tested
+    (tests/test_grouped_eval.py), for the regime it was built for.
+    """
+    tag_cols = [c for c in slim.columns if c not in ("id", "__tsig")]
+    ws = slim if "__tsig" in slim.columns \
+        else slim.withColumn("__tsig", _signature_col(tag_cols))
+    tag_rep = ws.drop("id").dropDuplicates().persist()
+    n_tags = tag_rep.count()
+    n_tsigs = tag_rep.select("__tsig").distinct().count()
+    n_rows = slim.count()
+    if n_tags != n_tsigs or n_tags * min_dup > n_rows:
+        tag_rep.unpersist()
+        return score_batches(
+            apply_sidepath_spark(slim.drop("__tsig"), agg),
+            offset_distance=offset_distance)
+
+    # narrow per-way relation; persisted so every consumer sees ONE
+    # evaluation of the (collect_list-order-nondeterministic) aggregates
+    narrow = (ws.select("id", "__tsig")
+              .join(agg, F.col("id") == F.col("way_id"), "left")
+              .withColumn("__has_agg", F.col("way_id").isNotNull())
+              .withColumn("__ms_key", F.expr(
+                  "cast(array_sort(map_entries(ms_map)) as string)"))
+              .drop("way_id"))
+    sig_key_cols = ["__tsig", "__has_agg", *_AGG_SCALARS, "__ms_key"]
+    narrow = narrow.withColumn(
+        "__sig", _signature_col(sig_key_cols)).persist()
+
+    rep = narrow.drop("id").dropDuplicates(sig_key_cols).persist()
+    n_reps = rep.count()
+    n_sigs = rep.select("__sig").distinct().count()
+    if n_reps != n_sigs:
+        tag_rep.unpersist()
+        rep.unpersist()
+        narrow.unpersist()
+        return score_batches(apply_sidepath_spark(slim, agg),
+                             offset_distance=offset_distance)
+
+    tag_side = F.broadcast(tag_rep) if n_tags < broadcast_tags_below \
+        else tag_rep.hint("shuffle_hash")
+    rep_full = rep.join(tag_side, "__tsig") \
+        .withColumn("way_id", F.when(F.col("__has_agg"),
+                                     F.lit("\x00agg")).cast("string")) \
+        .withColumn("id", F.col("__sig").cast("string"))
+    enr_rep = _sidepath_writeback(rep_full) \
+        .drop("__tsig", "__has_agg", "__ms_key", "__sig")
+    scored_rep = score_batches(enr_rep, offset_distance=offset_distance)
+    scored_keyed = scored_rep.withColumn(
+        "__sig", F.col("id").cast("long")).drop("id")
+    mapping = narrow.select(F.col("id").alias("__way_id"), "__sig")
+    out_cols = [F.col("__way_id").alias("id")] + \
+        [F.col(c) for c in C.OUTPUT_COLUMNS if c != "id"]
+    return mapping.join(scored_keyed.hint("shuffle_hash"), "__sig") \
+                  .select(*out_cols)
 
 
 def score_pages(pages: DataFrame,
@@ -499,7 +707,7 @@ def score_way_table(ways: DataFrame,
     # Dropping them here keeps the biggest columns out of the writeback
     # shuffle AND the final Arrow boundary — at web scale geometry is the
     # dominant payload of both.
-    slim = ways.drop(*[c for c in ("geom_lonlat", "url")
+    slim = ways.drop(*[c for c in ("geom_lonlat", "url", "__tsig")
                        if c in ways.columns])
     enriched = apply_sidepath_spark(slim, agg)
     return score_batches(enriched, offset_distance=offset_distance)
