@@ -129,6 +129,69 @@ def sample_points_along(coords: np.ndarray, spacing: float) -> np.ndarray:
     return np.vstack([pts, coords[-1:]])
 
 
+def sample_points_along_batch(
+        M: np.ndarray, offs: np.ndarray, spacing: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized :func:`sample_points_along` over a batch of polylines.
+
+    ``M`` is the (N, 2) concatenation of every way's metric vertices and
+    ``offs`` the (n_ways+1,) slice offsets.  Returns ``(way, seq, px, py)``
+    rows in way order: for way w the same points, in the same order, that
+    ``sample_points_along(M[offs[w]:offs[w+1]], spacing)`` yields —
+    spacing samples first (seq 0..m-1), end vertex last (seq m).  Sample
+    chainages are the identical ``k*spacing`` floats; per-way cumulative
+    lengths come from one global cumsum re-based per way, which can differ
+    from an independent per-way cumsum by ~1 ulp (inside every downstream
+    tolerance; the 22 m predicate operates at whole-meter margins).
+    """
+    offs = np.asarray(offs, dtype=np.int64)
+    npts = np.diff(offs)
+    nway = len(npts)
+    if nway == 0 or len(M) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, np.empty(0), np.empty(0)
+    nseg = np.maximum(npts - 1, 0)
+    segoff = np.concatenate([[0], np.cumsum(nseg)])
+    mask = np.ones(max(len(M) - 1, 0), dtype=bool)
+    b = offs[1:-1] - 1
+    mask[b[(b >= 0) & (b < len(mask))]] = False
+    dvec = (M[1:] - M[:-1])[mask]
+    seglen = np.hypot(dvec[:, 0], dvec[:, 1])
+    gc = np.concatenate([[0.0], np.cumsum(seglen)])
+    base = gc[segoff[:-1]]
+    total = gc[segoff[1:]] - base
+    m = np.where(total > 0,
+                 np.ceil((total + 1e-9) / spacing).astype(np.int64), 1)
+    cnt = m + 1
+    tot = int(cnt.sum())
+    way = np.repeat(np.arange(nway), cnt)
+    row_start = np.concatenate([[0], np.cumsum(cnt)])
+    seq = np.arange(tot) - row_start[way]
+    is_end = seq == cnt[way] - 1
+
+    px = np.empty(tot)
+    py = np.empty(tot)
+    interp = (~is_end) & (nseg[way] > 0)
+    iw = np.nonzero(interp)[0]
+    if len(iw):
+        w_i = way[iw]
+        dist = seq[iw].astype(float) * spacing
+        g = np.searchsorted(gc, base[w_i] + dist, side="right") - 1
+        idx = np.clip(g - segoff[w_i], 0, nseg[w_i] - 1)
+        gidx = segoff[w_i] + idx
+        sl = seglen[gidx]
+        frac = (dist - (gc[gidx] - base[w_i])) / np.where(sl > 0, sl, 1.0)
+        v = offs[w_i] + idx
+        px[iw] = M[v, 0] + dvec[gidx, 0] * frac
+        py[iw] = M[v, 1] + dvec[gidx, 1] * frac
+    rest = np.nonzero(~interp)[0]
+    if len(rest):
+        last_v = offs[way[rest]] + npts[way[rest]] - 1
+        px[rest] = M[last_v, 0]
+        py[rest] = M[last_v, 1]
+    return way, seq, px, py
+
+
 def point_to_polyline_dist(px: np.ndarray, py: np.ndarray,
                            coords: np.ndarray) -> np.ndarray:
     """Min distance from each point (px[i], py[i]) to a polyline. O(P*S)."""

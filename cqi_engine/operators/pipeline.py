@@ -32,8 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import config as C
-from ..geometry import (lonlat_to_metric, points_to_segments_dist,
-                        sample_points_along, segment_cells_clipped_batch)
+from ..geometry import (lonlat_to_metric, sample_points_along_batch,
+                        segment_cells_clipped_batch)
 from ..kernel import rules
 from ..kernel.offsets import run_offset_stage
 from ..kernel.sidepath import determine_maxspeed_value
@@ -111,26 +111,26 @@ def _metric_batched(geoms) -> tuple[np.ndarray, np.ndarray]:
 
 
 def sample_points(paths: DataFrame) -> DataFrame:
-    """J1+J2: check points every 100 m + end vertex, cell-assigned."""
+    """J1+J2: check points every 100 m + end vertex, cell-assigned.
+
+    One vectorized pass per Arrow batch (`sample_points_along_batch`) —
+    the former per-way loop paid ~26 us of numpy fixed overhead on every
+    2-5-vertex way, which dominated the stage at web-corpus batch sizes.
+    """
     def gen(batches):
         for pdf in batches:
-            out = {k: [] for k in ("way_id", "layer", "pt_seq", "x", "y")}
             M, offs = _metric_batched(pdf["geom_flat"].to_numpy(object))
-            for i, (wid, layer) in enumerate(zip(pdf["id"], pdf["layer"])):
-                pts = sample_points_along(M[offs[i]:offs[i + 1]],
-                                          C.SIDEPATH_SAMPLE_SPACING_M)
-                for k, (x, y) in enumerate(pts):
-                    out["way_id"].append(wid)
-                    out["layer"].append(layer)
-                    out["pt_seq"].append(k)
-                    out["x"].append(float(x))
-                    out["y"].append(float(y))
-            res = pd.DataFrame(out)
-            res["pt_seq"] = res["pt_seq"].astype("int32") if len(res) else res.get("pt_seq")
-            res["cell"] = (cells.cell_id_np(res["x"].to_numpy(float),
-                                            res["y"].to_numpy(float))
-                           if len(res) else pd.Series([], dtype="int64"))
-            yield res
+            way, seq, px, py = sample_points_along_batch(
+                M, offs, C.SIDEPATH_SAMPLE_SPACING_M)
+            yield pd.DataFrame({
+                "way_id": pdf["id"].to_numpy(object)[way],
+                "layer": pdf["layer"].to_numpy(object)[way],
+                "pt_seq": seq.astype(np.int32),
+                "x": px,
+                "y": py,
+                "cell": (cells.cell_id_np(px, py) if len(px)
+                         else np.empty(0, dtype=np.int64)),
+            })
 
     return paths.select("id", "layer", _flat_geom(paths)).mapInPandas(
         gen, _POINTS_SCHEMA)
@@ -185,8 +185,13 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
                       * csize)
             rel = (np.concatenate(splits)
                    - np.repeat(offvec, sizes, axis=0)).astype(np.float32)
+            flat = rel.reshape(-1)
+            bounds = 4 * np.r_[0, np.cumsum(sizes)]
             geoms = np.empty(len(splits), dtype=object)
-            geoms[:] = np.split(rel.reshape(-1), 4 * np.cumsum(sizes)[:-1])
+            # slice views, not np.split: array_split's per-piece swapaxes
+            # overhead measured ~2s/500k pages at local[1]
+            geoms[:] = [flat[bounds[i]:bounds[i + 1]]
+                        for i in range(len(splits))]
             yield pd.DataFrame({
                 "road_id": pdf["id"].to_numpy(object)[wayg],
                 "road_highway": pdf["highway"].to_numpy(object)[wayg],
@@ -247,11 +252,14 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
 
     def refine(batches):
         # every candidate row of one (road, cell) group shares the same
-        # clipped segment set — build the segment array ONCE per group and
-        # run the distance kernel vectorized over that group's points.
-        # Grouping is factorize + stable argsort, NOT pandas groupby
-        # iteration: sub-frame construction per tiny group measured ~17x
-        # slower than positional numpy slicing at web-scale batch sizes.
+        # clipped segment set — decode each group's payload once, then run
+        # the whole batch's (point x segment) distance arithmetic as ONE
+        # flattened numpy pass with a reduceat min per point (bitwise the
+        # same per-pair math as points_to_segments_dist; the former
+        # per-group kernel-call loop paid numpy fixed overhead ~72k times
+        # per full run).  Grouping is factorize + stable argsort, NOT
+        # pandas groupby iteration (measured ~17x slower).
+        csize = cells.cell_size(cells.JOIN_RES)
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame(columns=out_cols)
@@ -259,26 +267,44 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
             codes = _group_codes(pdf["road_id"], pdf["cell"])
             order = np.argsort(codes, kind="stable")
             sc = codes[order]
-            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-            ends = np.r_[starts[1:], len(sc)]
-            px = pdf["x"].to_numpy(dtype=float)
-            py = pdf["y"].to_numpy(dtype=float)
+            gstart = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            g_pt_cnt = np.diff(np.r_[gstart, len(sc)])
+            first_rows = order[gstart]
             geom = pdf["road_geom"].to_numpy(dtype=object)
             cell_ids = pdf["cell"].to_numpy(dtype=np.int64)
-            csize = cells.cell_size(cells.JOIN_RES)
-            d = np.empty(len(pdf))
-            for s, e in zip(starts, ends):
-                idx = order[s:e]
-                # payload is flat float32 [ax,ay,bx,by]* RELATIVE to the
-                # cell origin; rebuild absolute segments in float64 once
-                # per (road, cell) group
-                cid = int(cell_ids[idx[0]])
-                iy = cid % cells.SHIFT - cells.OFFSET
-                ix = (cid // cells.SHIFT) % cells.SHIFT - cells.OFFSET
-                origin = np.array([ix, iy, ix, iy], dtype=float) * csize
-                rel = np.asarray(geom[idx[0]], dtype=np.float32)
-                segs = rel.astype(np.float64).reshape(-1, 4) + origin
-                d[idx] = points_to_segments_dist(px[idx], py[idx], segs)
+            # payload is flat float32 [ax,ay,bx,by]* RELATIVE to the cell
+            # origin; rebuild absolute segments in float64 once per group
+            rels = [np.asarray(geom[r], dtype=np.float32)
+                    for r in first_rows]
+            s_cnt = np.fromiter((len(r) >> 2 for r in rels), np.int64,
+                                count=len(rels))
+            seg_start = np.r_[0, np.cumsum(s_cnt)]
+            seg = np.concatenate(rels).astype(np.float64).reshape(-1, 4)
+            cid = cell_ids[first_rows]
+            iy = cid % cells.SHIFT - cells.OFFSET
+            ix = (cid // cells.SHIFT) % cells.SHIFT - cells.OFFSET
+            seg += np.repeat(
+                np.column_stack([ix, iy, ix, iy]).astype(float) * csize,
+                s_cnt, axis=0)
+            px = pdf["x"].to_numpy(dtype=float)[order]
+            py = pdf["y"].to_numpy(dtype=float)[order]
+            g_of_pt = np.repeat(np.arange(len(gstart)), g_pt_cnt)
+            sc_of_pt = s_cnt[g_of_pt]
+            pair_start = np.r_[0, np.cumsum(sc_of_pt)]
+            total = int(pair_start[-1])
+            rep_pt = np.repeat(np.arange(len(sc)), sc_of_pt)
+            sidx = (seg_start[g_of_pt][rep_pt]
+                    + np.arange(total) - pair_start[rep_pt])
+            ax, ay = seg[sidx, 0], seg[sidx, 1]
+            abx, aby = seg[sidx, 2] - ax, seg[sidx, 3] - ay
+            ab2 = abx * abx + aby * aby
+            ab2 = np.where(ab2 > 0, ab2, 1.0)
+            apx, apy = px[rep_pt] - ax, py[rep_pt] - ay
+            t = np.clip((apx * abx + apy * aby) / ab2, 0.0, 1.0)
+            dx, dy = apx - t * abx, apy - t * aby
+            pair_d = np.sqrt(dx * dx + dy * dy)
+            d = np.empty(len(sc))
+            d[order] = np.minimum.reduceat(pair_d, pair_start[:-1])
             yield pdf.loc[d <= C.SIDEPATH_BUFFER_SIZE_M, out_cols]
 
     return joined.mapInPandas(refine, schema)

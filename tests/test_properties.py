@@ -168,3 +168,36 @@ def test_segment_cells_clipped_batch_matches_per_way(ways):
     assert set(got) == set(want)
     for key, segs in want.items():
         np.testing.assert_array_equal(got[key], segs)
+
+
+@given(st.lists(st.lists(st.tuples(
+    st.floats(min_value=-5000.0, max_value=5000.0),
+    st.floats(min_value=-5000.0, max_value=5000.0)),
+    min_size=1, max_size=6), min_size=0, max_size=10),
+    st.sampled_from([100.0, 37.5, 1.0]))
+@settings(max_examples=80, deadline=None)
+def test_sample_points_along_batch_matches_per_way(ways, spacing):
+    """sample_points_along_batch must reproduce sample_points_along per
+    way: same row counts and order, coordinates within 1 ulp-scale of the
+    per-way chainage arithmetic (global-cumsum re-basing)."""
+    from cqi_engine.geometry import (sample_points_along,
+                                     sample_points_along_batch)
+
+    geoms = [np.asarray(w, dtype=float).reshape(-1, 2) for w in ways]
+    offs = np.concatenate([[0], np.cumsum([len(g) for g in geoms])]) \
+        .astype(np.int64)
+    M = (np.concatenate(geoms) if any(len(g) for g in geoms)
+         else np.empty((0, 2)))
+    way, seq, px, py = sample_points_along_batch(M, offs, spacing)
+    row = 0
+    for wi, g in enumerate(geoms):
+        pts = sample_points_along(g, spacing)
+        n = len(pts)
+        assert list(way[row:row + n]) == [wi] * n
+        assert list(seq[row:row + n]) == list(range(n))
+        np.testing.assert_allclose(px[row:row + n], pts[:, 0],
+                                   rtol=1e-12, atol=1e-7)
+        np.testing.assert_allclose(py[row:row + n], pts[:, 1],
+                                   rtol=1e-12, atol=1e-7)
+        row += n
+    assert row == len(way)
