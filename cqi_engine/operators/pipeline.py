@@ -387,12 +387,22 @@ def sidepath_aggregates(points: DataFrame, pairs: DataFrame) -> DataFrame:
         F.expr(mode_name).alias("mode_name"),
         F.expr(ms_map).alias("ms_map"),
     )
-    return checks.join(agg, "way_id", "left")
+    # shuffle_hash: both sides are narrow per-way aggregates already keyed
+    # by way_id; hash join skips the two sorts SMJ would insert.
+    return checks.join(agg.hint("shuffle_hash"), "way_id", "left")
 
 
 def apply_sidepath_spark(ways: DataFrame, agg: DataFrame) -> DataFrame:
     """Writeback (ref:cycling_quality_index.py:175-251) as expressions."""
-    joined = ways.join(agg, ways["id"] == agg["way_id"], "left")
+    # shuffle_hash: the default SortMergeJoin would SORT the full wide tag
+    # relation (85 string columns x every way) — pure memory traffic, the
+    # binding resource under multi-core contention.  Building the hash map
+    # on the (narrow, aggregate) side streams the wide side untouched; and
+    # because score_way_table persists `ways` hash-partitioned by id, the
+    # wide side arrives co-partitioned — no exchange, no sort, one shuffle
+    # of the narrow agg side only.
+    joined = ways.join(agg.hint("shuffle_hash"),
+                       ways["id"] == agg["way_id"], "left")
     return _sidepath_writeback(joined)
 
 
@@ -716,24 +726,38 @@ def score_way_table(ways: DataFrame,
                     salt_threshold: float | None = None,
                     offset_distance=None) -> DataFrame:
     """Persist posture: `ways` feeds three consumers (paths, roads, final
-    writeback join) and `points`/`pairs` feed the multi-family aggregation —
+    writeback join) and `points` feeds both the cell join and the checks
+    aggregation —
     without persist the whole upstream (page synthesis -> extraction) would
     recompute per consumer.  On a cluster the same boundaries would be
     persisted (MEMORY_AND_DISK) or checkpointed to an Iceberg snapshot."""
-    ways = ways.persist()
+    # url identifies the page, not the way: nothing downstream of
+    # extraction consumes it, so it never enters the persisted relation —
+    # on a cached web corpus every re-read of a dead column is memory
+    # traffic multiplied by the consumer count (3-4 here).
+    #
+    # (Measured negative, kept out: hash-partitioning this persist by id
+    # to pre-satisfy the writeback join's distribution.  AQE wraps cached
+    # plans, so their outputPartitioning is unknown at planning time and
+    # EnsureRequirements re-exchanges the wide side anyway — the
+    # repartition then costs a full extra shuffle pass of the widest
+    # relation: local[4] R=400 wall 46.7 s -> 64.4 s.)
+    ways = ways.drop(*[c for c in ("url",) if c in ways.columns]).persist()
     paths = ways.filter(F.col("highway").isin(C.PATH_HIGHWAYS))
     roads = ways.filter(~F.col("highway").isin(C.ROAD_EXCLUDED_HIGHWAYS)
                         | F.col("highway").isNull())
     points = sample_points(paths).persist()
     rcells = road_cell_index(roads)
-    pairs = dwithin_pairs(points, rcells, salt_threshold).persist()
+    # pairs has exactly ONE consumer (the count-map aggregation) — caching
+    # it would be a pure extra write+read pass of the pair relation
+    pairs = dwithin_pairs(points, rcells, salt_threshold)
     agg = sidepath_aggregates(points, pairs)
-    # geometry/url feed only the spatial-join stages above; the scoring
+    # geometry feeds only the spatial-join stages above; the scoring
     # kernel consumes tag attributes (+ geom_metric on pandas-fed tables).
-    # Dropping them here keeps the biggest columns out of the writeback
+    # Dropping it here keeps the biggest columns out of the writeback
     # shuffle AND the final Arrow boundary — at web scale geometry is the
     # dominant payload of both.
-    slim = ways.drop(*[c for c in ("geom_lonlat", "url", "__tsig")
+    slim = ways.drop(*[c for c in ("geom_lonlat", "__tsig")
                        if c in ways.columns])
     enriched = apply_sidepath_spark(slim, agg)
     return score_batches(enriched, offset_distance=offset_distance)

@@ -29,14 +29,26 @@ BENCH = os.path.join(ROOT, "scripts", "scaling_bench.py")
 
 
 def git_sha() -> str:
-    """Short sha of the last commit touching the measured code (cqi_engine
-    + the two bench scripts) — doc-only commits must not split the
-    cross-session min-of-N pool for identical engine code."""
+    """Code identity of the measured engine: short sha of the last commit
+    touching cqi_engine + the bench script (doc-only commits must not
+    split the cross-session min-of-N pool), PLUS a content hash of any
+    UNCOMMITTED diff to those paths.  Without the dirty suffix, two
+    protocol sessions straddling a working-tree edit share a sha and the
+    pooled min mixes timings of different code (this happened on
+    2026-08-18: a pre-/post-join-rework pair pooled into one summary)."""
     try:
-        return subprocess.run(
+        sha = subprocess.run(
             ["git", "-C", ROOT, "log", "-1", "--format=%h", "--",
              "cqi_engine", "scripts/scaling_bench.py"],
             capture_output=True, text=True, timeout=10).stdout.strip()
+        diff = subprocess.run(
+            ["git", "-C", ROOT, "diff", "HEAD", "--",
+             "cqi_engine", "scripts/scaling_bench.py"],
+            capture_output=True, text=True, timeout=10).stdout
+        if diff:
+            import hashlib
+            sha += "+" + hashlib.sha256(diff.encode()).hexdigest()[:8]
+        return sha
     except OSError:
         return "unknown"
 

@@ -50,7 +50,10 @@ def main() -> None:
                          "streaming-read probe clears this")
     ap.add_argument("--interval", type=int, default=600)
     ap.add_argument("--max-hours", type=float, default=5.0)
-    ap.add_argument("--pairs", default="8:32:200")
+    # defaults re-sized for the post-speedup engine (5x faster single
+    # thread): R=200 at 8 threads now finishes in ~17 s, too small for the
+    # pair to measure anything but fixed costs — see BASELINE.md session H
+    ap.add_argument("--pairs", default="1:4:400,8:32:800")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
