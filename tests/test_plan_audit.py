@@ -36,6 +36,10 @@ def test_flagship_plan_properties(spark):
     assert "CartesianProduct" not in plan
     # the cell join runs as a shuffled hash join (hint honored)
     assert "ShuffledHashJoin" in plan
+    # the writeback joins are shuffle-hash too: sort-merge would SORT the
+    # full 85-string-column way relation (spill-heavy at scale) purely to
+    # satisfy SMJ ordering — the whole join tree must stay sort-free
+    assert "SortMergeJoin" not in plan
 
 
 def test_catalog_scan_pushdown(spark):
