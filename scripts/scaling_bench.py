@@ -55,7 +55,14 @@ def main() -> None:
     # crossJoin(range(R)), not an R-way union: a chained union's logical
     # plan grows O(R) and Catalyst re-analysis of it is serial driver time
     # that swamps the measurement.
-    expanded = (docs.select("doc_id")
+    #
+    # repartition the (tiny) doc_id relation BEFORE the crossJoin: the
+    # sf0.1 parquet is one split, so scan+x800-expansion+shuffle-write
+    # otherwise runs as ONE task — a measured 3.1 s serial stage inside
+    # the timed window (stage_profile at local[32] R=800), i.e. a
+    # harness-made Amdahl term that taxes exactly the high-N leg the
+    # protocol is trying to measure.
+    expanded = (docs.select("doc_id").repartition(cpus)
                 .crossJoin(F.broadcast(spark.range(replicate)
                                        .select(F.col("id").alias("rep"))))
                 .select((F.col("doc_id") + F.col("rep") * F.lit(n_base))

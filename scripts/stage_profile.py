@@ -62,7 +62,7 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     n_base = docs.count()
-    expanded = (docs.select("doc_id")
+    expanded = (docs.select("doc_id").repartition(args.cpus)
                 .crossJoin(F.broadcast(spark.range(args.replicate)
                                        .select(F.col("id").alias("rep"))))
                 .select((F.col("doc_id") + F.col("rep") * F.lit(n_base))

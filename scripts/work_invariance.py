@@ -60,7 +60,9 @@ def run_once(cpus: int, replicate: int, sf_dir: str) -> dict:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = docs.count()
-    expanded = (docs.select("doc_id")
+    # FIXED pre-expansion partition count (not cpus): this protocol's
+    # whole point is byte-identical work at both parallelism levels
+    expanded = (docs.select("doc_id").repartition(64)
                 .crossJoin(F.broadcast(spark.range(replicate)
                                        .select(F.col("id").alias("rep"))))
                 .select((F.col("doc_id") + F.col("rep") * F.lit(n_base))
