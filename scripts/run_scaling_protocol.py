@@ -10,7 +10,7 @@ which bench.py embeds (clearly stamped as a recorded prior measurement, not
 a live per-run number — a live pair would double every bench run's cost and
 still measure the same host).
 
-Protocol (default): pairs 1->4 (500k pages) and 8->32 (1M pages), min of 3.
+Protocol (default): pairs 1->4 (2M pages) and 8->32 (4M pages), min of 3.
 """
 
 from __future__ import annotations
@@ -166,7 +166,10 @@ def host_control(pair: tuple[int, int], tasks: int = 64) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--pairs", default="1:4:100,8:32:200",
+    # defaults re-sized for the post-speedup engine (see BASELINE.md
+    # sessions H-J): R=100/200 now finish so fast that fixed costs and
+    # cache effects dominate what the pair is supposed to measure
+    ap.add_argument("--pairs", default="1:4:400,8:32:800",
                     help="comma list of lo:hi:replicate")
     args = ap.parse_args()
 
