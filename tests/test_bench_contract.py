@@ -69,6 +69,28 @@ def test_current_repo_line_fits_with_scaling():
         "summary — trim the per-pair summary fields")
 
 
+def test_scaling_summary_one_entry_per_pair():
+    """The current-record list in SCALING.json grows with every input-size
+    re-certification; the one-line summary must stay bounded by keeping
+    only the largest-input (adequately-sized) entry per pair name."""
+    art = {"pairs": [
+        {"pair": "local[1] -> local[4]", "n_pages": 500_000,
+         "efficiency": 0.98, "host_ceiling_efficiency": 1.0,
+         "host_membw_ceiling": 0.4},
+        {"pair": "local[1] -> local[4]", "n_pages": 2_000_000,
+         "efficiency": 0.65, "host_ceiling_efficiency": 0.96,
+         "host_membw_ceiling": 0.79},
+        {"pair": "local[8] -> local[32]", "n_pages": 1_000_000,
+         "efficiency": 0.22, "host_ceiling_efficiency": 0.72,
+         "host_membw_ceiling": 0.16},
+    ]}
+    summary = bench._scaling_summary(art)
+    assert len(summary) == 2
+    one_four = next(s for s in summary
+                    if s["pair"] == "local[1] -> local[4]")
+    assert one_four["efficiency"] == 0.65  # the 2M-page entry won
+
+
 def _patch_dir(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "__file__",
                         str(tmp_path / "bench.py"), raising=False)
