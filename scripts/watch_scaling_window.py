@@ -72,8 +72,19 @@ def main() -> None:
             # before paying for a full protocol session.
             streak += 1
             if streak >= 2:
-                print(f"{stamp} window healthy x2 -> running protocol",
-                      flush=True)
+                # final confirm probe at launch time: session K
+                # (2026-08-18T23:14Z) passed the 2-streak on a spike and
+                # every bracketed run then read 1.6-2.6 GB/s — a window
+                # must still be standing the moment the money is spent.
+                confirm = probe_gbps()
+                if confirm < args.min_gbps * 0.8:
+                    print(f"{stamp} confirm probe {confirm} GB/s — spike "
+                          f"died, back to watching", flush=True)
+                    streak = 0
+                    time.sleep(args.interval)
+                    continue
+                print(f"{stamp} window healthy x2 + confirm {confirm} "
+                      f"-> running protocol", flush=True)
                 rc = subprocess.call(
                     [sys.executable,
                      os.path.join(ROOT, "scripts",
