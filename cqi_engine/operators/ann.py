@@ -102,20 +102,31 @@ _PAIR_SCHEMA = T.StructType([
 ])
 
 
-def tile_pair_blocks(packed: DataFrame, tile_keys: DataFrame) -> DataFrame:
-    """(blk, items) x (bi, bj) -> (items_a, items_b), one row per tile.
+def tile_pair_blocks(packed: DataFrame, nb: int) -> DataFrame:
+    """(blk, items) x upper-triangular block pairs -> (items_a, items_b).
 
-    Join shape matters at scale: ``packed`` is the FULL packed corpus
-    (O(n*d) bytes) — broadcasting it ships the dataset to every executor,
-    which is exactly the unbounded-broadcast pathology the plan audit
-    forbids.  Instead the tiny driver-built ``tile_keys`` table is the
-    broadcast side of join #1 (packed is streamed in place, no shuffle),
-    and join #2 is a shuffle-hash equi-join on the block key (the
-    operators/knn.py pattern): each side shuffles O(rows) on `blk`, no
-    relation is ever replicated whole.
+    Join shape matters at scale, twice over:
+
+    * ``packed`` is the FULL packed corpus (O(n*d) bytes) — broadcasting
+      it ships the dataset to every executor, which is exactly the
+      unbounded-broadcast pathology the plan audit forbids.
+    * the (bi, bj | bi <= bj) pair set is O(nb^2) ROWS — materializing it
+      on the driver (or broadcasting it) dies at web scale: 10^9 vectors /
+      block=512 gives nb≈2M and ~2*10^12 pairs.
+
+    So the pair set never exists as a table at all: each packed block row
+    GENERATES its own row of upper-triangular tile partners executor-side
+    via ``explode(sequence(blk, nb-1))`` — O(nb) longs per block row, no
+    join, no broadcast, no driver Python list — and the only join is a
+    shuffle-hash equi-join on the partner block key (the operators/knn.py
+    pattern): each side shuffles O(rows) on `blk`, no relation is ever
+    replicated whole.  (``sequence`` caps at ~2^31 elements, i.e. nb up to
+    ~2*10^9 blocks = 10^12 vectors at block=512 — past any exact-GEMM
+    corpus; the sub-quadratic LSH/IVF paths take over long before that.)
     """
     side_a = (packed.withColumnRenamed("items", "items_a")
-              .join(F.broadcast(tile_keys), F.col("blk") == F.col("bi"))
+              .withColumn("bj", F.explode(
+                  F.sequence(F.col("blk"), F.lit(nb - 1).cast("long"))))
               .drop("blk"))
     side_b = (packed.withColumnRenamed("items", "items_b")
               .withColumnRenamed("blk", "blk_b"))
@@ -132,30 +143,27 @@ def neardup_candidates_blocked(emb: DataFrame, threshold: float,
     The naive exact near-dup plan self-joins the vector table (O(n^2)
     materialized pair ROWS, each carrying two full vectors).  The tiled
     plan moves O(n^2 * d / block) data instead: vectors are packed into
-    n/block block rows (one `collect_list` shuffle), a tiny driver-built
-    (block_i <= block_j) pair table equi-joins each tile's two packed
-    blocks (broadcast hash joins — no cartesian of the vector table), and
-    one numpy GEMM per tile emits only the qualifying (vec_a, vec_b) id
-    pairs.  Exact FLOPs are inherent to exact similarity; what the tiling
-    removes is the pair-row shuffle explosion.
+    n/block block rows (one `collect_list` shuffle), the upper-triangular
+    (block_i <= block_j) tile set is enumerated DISTRIBUTED (each block
+    row generates its partners executor-side — see tile_pair_blocks; no
+    O(nb^2) driver list), and one numpy GEMM per tile emits only the
+    qualifying
+    (vec_a, vec_b) id pairs.  Exact FLOPs are inherent to exact
+    similarity; what the tiling removes is the pair-row shuffle explosion
+    and any driver-side pair materialization.
 
     ``margin`` loosens the numpy-side threshold so candidate generation
     can never drop a pair the exact Catalyst fold would keep (float64
     matmul vs sequential fold differ by ~1e-15 relative); callers re-verify
     with the exact expression and the final ``>= threshold`` filter.
     """
-    spark = emb.sparkSession
     emb2 = emb.withColumn("blk", (F.col("vec_id") / block).cast("long"))
     packed = emb2.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("items"))
 
     n = emb.agg(F.max("vec_id")).collect()[0][0] or 0
     nb = int(n) // block + 1
-    tile_keys = spark.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(nb) if i <= j],
-        "bi long, bj long")
-
-    tiles = tile_pair_blocks(packed, tile_keys)
+    tiles = tile_pair_blocks(packed, nb)
 
     cut = threshold - margin
 

@@ -74,10 +74,7 @@ def shingle_pairs_gemm(docs_grams: DataFrame, threshold: float,
 
     n = docs_grams.agg(F.max("doc_id")).collect()[0][0] or 0
     nb = int(n) // block + 1
-    tile_keys = spark.createDataFrame(
-        [(i, j) for i in range(nb) for j in range(nb) if i <= j],
-        "bi long, bj long")
-    tiles = tile_pair_blocks(packed, tile_keys)
+    tiles = tile_pair_blocks(packed, nb)  # distributed pair enumeration
 
     cut = max(threshold - margin, 0.0)
 

@@ -137,6 +137,24 @@ def test_tiled_gemm_never_broadcasts_packed_corpus(spark, qname):
             f"{qname}: corpus scan under a broadcast:\n{body}")
 
 
+@pytest.mark.parametrize("qname", ["embed_neardup", "ngram_jaccard"])
+def test_tiled_gemm_pair_enumeration_is_distributed(spark, qname):
+    """The upper-triangular (bi, bj) tile-pair set is O(nb^2) rows — at
+    10^9 vectors / block=512 that is ~2*10^12 pairs, far past what a
+    driver Python list (the round-3 shape) or a LocalTableScan can hold.
+    The plan must show the pair set GENERATED executor-side
+    (explode(sequence(blk, nb-1)) over the packed relation) and must not
+    contain any driver-materialized local relation at all."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    q = run_query(spark, "/root/testdata/sf0.01", CATALOG[qname])
+    plan = _simple_plan(q)
+    assert "LocalTableScan" not in plan and "ExistingRDD" not in plan, (
+        f"{qname}: driver-materialized relation in plan:\n{plan}")
+    assert "Generate explode(sequence(" in plan, (
+        f"{qname}: tile pairs not generated executor-side:\n{plan}")
+
+
 def test_catalog_broadcastable_dims_broadcast(spark):
     """Small dimension joins (nation polygons) use broadcast hash join."""
     from cqi_engine.queries.catalog import CATALOG, run_query
