@@ -110,7 +110,7 @@ def _scaling_artifact() -> dict | None:
         "pairs": [
             {k: p.get(k) for k in
              ("pair", "n_pages", "t_n_s", "t_4n_s", "speedup", "efficiency",
-              "efficiency_vs_host_ceiling", "estimator")}
+              "efficiency_vs_host_ceiling", "estimator", "git_sha")}
             | {"host_ceiling_efficiency":
                (p.get("host_ceiling") or {}).get("ceiling_efficiency"),
                "host_membw_ceiling":
@@ -130,17 +130,21 @@ def _scaling_summary(art: dict | None) -> list | None:
         return None
     # one entry per pair NAME (the current record per (pair, replicate)
     # list grows with every input-size re-certification): keep the
-    # adequately-sized measurement — largest n_pages — per pair, so the
-    # one-line JSON stays bounded however many sessions accumulate.
+    # adequately-sized measurement — largest n_pages, ties broken toward
+    # the LATER artifact entry (the pairs list is recency-ordered, so a
+    # re-certification at the same input size supersedes the older run) —
+    # and carry git_sha so a record measured on old engine code is
+    # distinguishable from one on the current tree.
     by_pair: dict = {}
     for p in art.get("pairs", []):
         cur = by_pair.get(p.get("pair"))
-        if cur is None or (p.get("n_pages") or 0) > (cur.get("n_pages") or 0):
+        if cur is None or (p.get("n_pages") or 0) >= (cur.get("n_pages") or 0):
             by_pair[p.get("pair")] = p
     return [
         {"pair": p.get("pair"), "efficiency": p.get("efficiency"),
          "host_cpu_ceiling": p.get("host_ceiling_efficiency"),
-         "host_membw_ceiling": p.get("host_membw_ceiling")}
+         "host_membw_ceiling": p.get("host_membw_ceiling"),
+         "git_sha": p.get("git_sha")}
         for p in by_pair.values()
     ]
 

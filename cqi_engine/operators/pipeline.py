@@ -396,11 +396,15 @@ def apply_sidepath_spark(ways: DataFrame, agg: DataFrame) -> DataFrame:
     """Writeback (ref:cycling_quality_index.py:175-251) as expressions."""
     # shuffle_hash: the default SortMergeJoin would SORT the full wide tag
     # relation (85 string columns x every way) — pure memory traffic, the
-    # binding resource under multi-core contention.  Building the hash map
-    # on the (narrow, aggregate) side streams the wide side untouched; and
-    # because score_way_table persists `ways` hash-partitioned by id, the
-    # wide side arrives co-partitioned — no exchange, no sort, one shuffle
-    # of the narrow agg side only.
+    # binding resource under multi-core contention.  The win is skipping
+    # that sort; both sides still exchange on the key (pre-partitioning
+    # the persist was measured negative, see score_way_table) unless AQE
+    # happens to reuse an existing partitioning.  Trade-off to know at
+    # scale: ShuffledHashJoin's build-side hash map cannot spill, which is
+    # safe here only because the build side is the NARROW per-way
+    # aggregate (a handful of numeric columns, ~one row per way) and AQE
+    # skew-join splits oversized partitions; a wide or heavily skewed
+    # build side should fall back to SMJ.
     joined = ways.join(agg.hint("shuffle_hash"),
                        ways["id"] == agg["way_id"], "left")
     return _sidepath_writeback(joined)

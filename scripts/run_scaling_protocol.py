@@ -49,7 +49,10 @@ def git_sha() -> str:
             import hashlib
             sha += "+" + hashlib.sha256(diff.encode()).hexdigest()[:8]
         return sha
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
+        # SubprocessError covers TimeoutExpired: a hung git must degrade
+        # the label, not crash a (possibly watcher-triggered) session
+        # before any run starts.
         return "unknown"
 
 
