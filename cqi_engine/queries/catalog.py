@@ -1338,10 +1338,35 @@ _reg(Query("cqi_score_ways_full", ("documents",), fn=_cqi_score_full_fn,
                "of all 38 scored columns vs the pandas-kernel fixture"))
 
 
-def _media_decode_fn(spark, sf_dir: str):
-    from ..operators.media import decode_media_features_flat
+def _media_pipeline_fn(spark, sf_dir: str):
+    """decode + resize(128x96) + frame-sample(k=24), one row per doc.
+
+    Each stage is the REAL operator (three Arrow mapInPandas passes over
+    the same opaque-binary column, operators/media.py), composed with
+    doc_id equi-joins — so the graded values cover the resize sizing/
+    repetition arithmetic and the frame-sampling multiplicity/content,
+    not just the decode."""
+    from pyspark.sql import functions as F
+    from ..operators.media import (decode_media_features_flat, resize_media,
+                                   sample_frames)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return decode_media_features_flat(docs)
+    dec = decode_media_features_flat(docs)
+    rz = resize_media(docs, 128, 96).select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("resized_n_bytes"),
+        F.lower(F.hex("payload")).alias("resized_hex"))
+    fr = (sample_frames(docs, every_k=24)
+          .groupBy("doc_id")
+          .agg(F.count("*").cast("long").alias("n_sampled"),
+               F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+               F.max(F.when(F.col("frame_idx") == 0,
+                            F.lower(F.hex("frame")))).alias("frame0_hex")))
+    return (dec.join(rz, "doc_id")
+            .join(fr, "doc_id", "left")
+            .withColumn("n_sampled",
+                        F.coalesce("n_sampled", F.lit(0).cast("long")))
+            .withColumn("sum_frame_idx",
+                        F.coalesce("sum_frame_idx", F.lit(0).cast("long"))))
 
 
 def _ann_topk_blocked_fn(spark, sf_dir: str):
@@ -1384,13 +1409,25 @@ _sql_pair("tile_pyramid", ("customer",), _tile_pyramid,
           "Two-level raster tile pyramid rollup (fine cells -> coarse tiles)")
 
 
-def _media_decode_sql(d: str) -> str:
-    # the deterministic stub decode of operators/media.py, expressed as
-    # hash arithmetic both engines can run: byte k of sha256(payload)
-    # drives each fake media attribute.  DuckDB's sha256(varchar) hashes
-    # the UTF-8 bytes — identical to Spark's sha2(cast(text as binary)).
+def _media_pipeline_sql(d: str) -> str:
+    # the deterministic stub decode/resize/frame-sample of
+    # operators/media.py, expressed as hash arithmetic both engines can
+    # run: byte k of sha256(payload) drives each fake media attribute;
+    # the resized payload is (sha256(payload || ':128x96') * 2)[:48]; the
+    # sampled frame set of a video with n frames is range(0, n, 24) and
+    # frame 0's bytes are sha256(payload || int32be(0)).  DuckDB's
+    # sha256(varchar) hashes the UTF-8 bytes — identical to Spark's
+    # sha2(cast(text as binary)) — and chr(0) gives the NUL bytes of the
+    # big-endian frame index 0.
     h = ("sha2(cast(text as binary), 256)" if d == SPARK
          else "sha256(text)")
+    rz_src = "concat(text, ':128x96')" if d == SPARK else "text || ':128x96'"
+    rh = (f"sha2(cast({rz_src} as binary), 256)" if d == SPARK
+          else f"sha256({rz_src})")
+    nul4 = ("concat(text, chr(0), chr(0), chr(0), chr(0))" if d == SPARK
+            else "text || chr(0) || chr(0) || chr(0) || chr(0)")
+    f0 = (f"sha2(cast({nul4} as binary), 256)" if d == SPARK
+          else f"sha256({nul4})")
     pos = "instr" if d == SPARK else "strpos"
 
     def byte(k: int) -> str:
@@ -1402,34 +1439,52 @@ def _media_decode_sql(d: str) -> str:
     feats = ",\n       ".join(
         f"cast(round(({byte(4 + i)}) / 255.0, 6) as double) as feature_{i}"
         for i in range(8))
+    # frame-sample arithmetic: m = ceil(n_frames / 24) sampled indices
+    # {0, 24, ..., 24*(m-1)}, so count = m and sum = 24 * m*(m-1)/2
+    is_video = f"(({byte(0)}) % 4 = 3)"
+    nf = f"(1 + ({byte(3)}) % 240)"
+    m = idiv(f"({nf} + 23)", 24, d)
+    sum_idx = idiv(f"(24 * {m} * ({m} - 1))", 2, d)
     return f"""
 select doc_id,
        cast(octet_length({blob}) as bigint) as n_bytes,
        {mt} as media_type,
        cast(64 + (({byte(1)}) % 64) * 16 as bigint) as width,
        cast(64 + (({byte(2)}) % 64) * 16 as bigint) as height,
-       cast(1 + ({byte(3)}) % 240 as bigint) as n_frames,
-       {feats}
-from (select doc_id, text, {h} as h from documents) t
+       cast({nf} as bigint) as n_frames,
+       {feats},
+       cast(48 as bigint) as resized_n_bytes,
+       (rh || substr(rh, 1, 32)) as resized_hex,
+       cast(case when {is_video} then {m} else 0 end as bigint) as n_sampled,
+       cast(case when {is_video} then {sum_idx} else 0 end
+            as bigint) as sum_frame_idx,
+       case when {is_video} then f0 end as frame0_hex
+from (select doc_id, text, {h} as h, {rh} as rh, {f0} as f0
+      from documents) t
 """
 
 
-# `media_decode` IS the mapInPandas pipeline (operators/media.py) graded
-# against the hash-arithmetic DuckDB oracle: the stub decode is a pure
+# `media_pipeline` IS the mapInPandas media stack (operators/media.py —
+# decode, resize_media, sample_frames composed on doc_id) graded against
+# the hash-arithmetic DuckDB oracle: every stub codec output is a pure
 # function of sha256(payload), so the oracle recomputes every byte-derived
-# attribute (incl. all 8 feature dims) independently of the Python path.
-# Python round() and SQL round() agree on every k/255 input (k=0..255,
-# exhaustively checked in tests/test_ops_modules.py).
-_reg(Query("media_decode", ("documents",), fn=_media_decode_fn,
-           duck_sql=_media_decode_sql(DUCK),
-           doc="Multimodal decode pipeline over opaque binary columns "
-               "(mapInPandas stub decode vs sha256-arithmetic oracle)"))
+# attribute (all 8 feature dims, the resized payload bytes via their hex,
+# the sampled-frame count/index-sum and frame 0's bytes) independently of
+# the Python path.  Python round() and SQL round() agree on every k/255
+# input (k=0..255, exhaustively checked in tests/test_ops_modules.py).
+_reg(Query("media_pipeline", ("documents",), fn=_media_pipeline_fn,
+           duck_sql=_media_pipeline_sql(DUCK),
+           doc="Multimodal decode + resize + frame-sample pipeline over "
+               "opaque binary columns (three mapInPandas operators vs one "
+               "sha256-arithmetic oracle)"))
 
-# NOTE: a `media_decode_sql` dual-dialect twin of the template above was
-# registered through round 2; it was retired (round 3) because the driver
-# grades at most 50 queries and the twin's arithmetic is already proven by
-# `media_decode` itself (same DuckDB oracle) — keeping it silently pushed
-# `props_extract` out of the graded set.
+# NOTE (50-query driver cap bookkeeping): `media_decode_sql`, the
+# dual-dialect SQL twin, was retired in round 3 (its arithmetic is proven
+# by the operator-backed entry against the same oracle).  In round 4 the
+# `media_decode` entry itself was SUPERSEDED by `media_pipeline` above —
+# a strict superset (same decode columns, same oracle arithmetic) that
+# additionally grades resize_media and sample_frames, which round 3 left
+# as the only ungraded operators.  The catalog stays at exactly 50.
 
 
 def _ann_ivf_topk(d: str) -> str:

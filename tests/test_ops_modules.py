@@ -285,25 +285,122 @@ def test_salted_pipeline_identical_output(spark):
     assert plain == salted
 
 
-# ---------------------------------------------------- media decode twin ----
-def test_media_decode_python_matches_sql_twin(spark):
-    """The mapInPandas stub decode and the SQL hash-arithmetic twin must
-    agree attribute for attribute (same sha256-derived values).  The twin
-    was retired from the graded catalog (driver caps at 50 queries) but its
-    Spark-dialect template remains the parity witness here."""
+# ------------------------------------------------ 100x-hot-cell stress ----
+def test_salted_dwithin_100x_hot_cell(spark):
+    """Skew-STRESS correctness for the salted dwithin path: a synthetic
+    fixture where one 64 m join cell holds >50% of all sampled points (the
+    dense-city pathology the north_rule's explicit skew mechanism exists
+    for — test_salted_pipeline_identical_output only exercises benign
+    organic skew).  Asserts (a) the hot cell is detected and split k>1
+    ways, (b) salted vs unsalted dwithin output is row-identical including
+    multiplicity, (c) the salted plan actually contains the salt-replicate
+    explode and a shuffled hash join."""
+    import contextlib
+    import io
+
+    from cqi_engine.geometry import lonlat_to_metric
+    from cqi_engine.operators import cells
+    from cqi_engine.operators.pipeline import (dwithin_pairs,
+                                               road_cell_index,
+                                               sample_points)
+    from cqi_engine.operators.skew import cell_histogram, hot_cells
+
+    # anchor the hot square at the CENTER of its 64 m cell so the 20 m
+    # cluster cannot straddle a cell boundary
+    lat0, lon0 = 52.5, 13.4
+    mlat = 1.0 / 111320.0
+    mlon = 1.0 / (111320.0 * np.cos(np.radians(lat0)))
+    x0, y0 = (float(v[0]) for v in lonlat_to_metric(
+        np.array([lon0]), np.array([lat0])))
+    size = cells.cell_size(cells.JOIN_RES)
+    dx0 = (np.floor(x0 / size) * size + size / 2) - x0
+    dy0 = (np.floor(y0 / size) * size + size / 2) - y0
+
+    def seg(x_m, y_m, ddx, ddy):
+        # meters (relative to the snapped cell center) -> lon/lat pair
+        x = x_m + dx0 - 10.0
+        y = y_m + dy0 - 10.0
+        return [[float(lon0 + x * mlon), float(lat0 + y * mlat)],
+                [float(lon0 + (x + ddx) * mlon),
+                 float(lat0 + (y + ddy) * mlat)]]
+
+    paths = [(f"hot{i}", None, seg((i % 12) * 1.5, (i // 12) * 1.8, 4.0, 0.0))
+             for i in range(120)]           # 240 points in one cell
+    paths += [(f"cold{i}", None, seg(1000.0 + i * 250.0, 500.0, 4.0, 0.0))
+              for i in range(80)]           # 160 points, ~1 cell each
+    pschema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("geom_lonlat",
+                      T.ArrayType(T.ArrayType(T.DoubleType())))])
+    paths_df = spark.createDataFrame(paths, pschema)
+
+    roads = [(f"hr{j}", "residential", f"HotSt{j}", 30.0, None,
+              seg(-3.0, j * 3.0 + 0.5, 26.0, 0.0)) for j in range(6)]
+    roads += [(f"cr{i}", "residential", f"ColdSt{i}", 50.0, None,
+               seg(1000.0 + i * 250.0, 508.0, 4.0, 0.0))
+              for i in range(0, 80, 4)]
+    rschema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("highway", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("maxspeed", T.DoubleType()),
+        T.StructField("layer", T.StringType()),
+        T.StructField("geom_lonlat",
+                      T.ArrayType(T.ArrayType(T.DoubleType())))])
+    roads_df = spark.createDataFrame(roads, rschema)
+
+    points = sample_points(paths_df).persist()
+    rcells = road_cell_index(roads_df).persist()
+
+    # fixture property: one cell really holds the majority of all points
+    hist = cell_histogram(points).collect()
+    total = sum(r["cell_n"] for r in hist)
+    assert max(r["cell_n"] for r in hist) > 0.5 * total
+    # ... and the skew detector splits it more than one way
+    hot = hot_cells(cell_histogram(points), threshold=4.0).collect()
+    assert len(hot) >= 1 and max(r["salt_k"] for r in hot) > 1
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    plain = rows(dwithin_pairs(points, rcells, salt_threshold=None))
+    salted_df = dwithin_pairs(points, rcells, salt_threshold=4.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_df.explain()  # simple mode: operators inline with args
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan
+    assert "Generate explode(salts" in plan  # replicate_index salt fan-out
+    salted = rows(salted_df)
+    assert len(plain) > 0
+    assert plain == salted  # identical incl. multiplicity
+    points.unpersist()
+    rcells.unpersist()
+
+
+# -------------------------------------------------- media pipeline twin ----
+def test_media_pipeline_python_matches_sql_twin(spark):
+    """The three mapInPandas media operators (decode, resize, frame-sample)
+    and the SQL hash-arithmetic twin must agree attribute for attribute
+    (same sha256-derived values, same resize bytes, same sampled-frame
+    multiplicity and frame-0 content).  The twin is not a graded catalog
+    entry (driver caps at 50 queries) but its Spark-dialect template
+    remains the parity witness here."""
     from cqi_engine.queries.catalog import (CATALOG, run_query,
-                                            _media_decode_sql)
+                                            _media_pipeline_sql)
     from cqi_engine.operators.dialect import SPARK
 
     py = {r["doc_id"]: r for r in
           run_query(spark, "/root/testdata/sf0.001",
-                    CATALOG["media_decode"]).collect()}
+                    CATALOG["media_pipeline"]).collect()}
     spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).createOrReplaceTempView("documents")
     sql = {r["doc_id"]: r for r in
-           spark.sql(_media_decode_sql(SPARK)).collect()}
+           spark.sql(_media_pipeline_sql(SPARK)).collect()}
     assert set(py) == set(sql)
+    n_videos = 0
     for doc_id, a in py.items():
         b = sql[doc_id]
         assert a["n_bytes"] == b["n_bytes"]
@@ -312,6 +409,17 @@ def test_media_decode_python_matches_sql_twin(spark):
             (b["width"], b["height"], b["n_frames"])
         for i in range(8):
             assert a[f"feature_{i}"] == b[f"feature_{i}"]
+        assert (a["resized_n_bytes"], a["resized_hex"]) == \
+            (b["resized_n_bytes"], b["resized_hex"])
+        assert (a["n_sampled"], a["sum_frame_idx"], a["frame0_hex"]) == \
+            (b["n_sampled"], b["sum_frame_idx"], b["frame0_hex"])
+        if a["media_type"] == "video/mp4":
+            n_videos += 1
+            assert a["n_sampled"] >= 1 and a["frame0_hex"] is not None
+        else:
+            assert a["n_sampled"] == 0 and a["frame0_hex"] is None
+    # the corpus must actually exercise the video path
+    assert n_videos > 0
 
 
 def test_media_resize_plumbing(spark):

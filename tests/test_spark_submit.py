@@ -24,7 +24,22 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 SF_DIR = os.environ.get("CQI_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-spark_submit = shutil.which("spark-submit")
+def _find_spark_submit() -> str | None:
+    """PATH first; else the launcher pyspark itself ships (pip installs
+    put bin/spark-submit inside the package, not necessarily on PATH) —
+    the zip-only launch proof must not silently skip on such boxes."""
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    try:
+        import pyspark
+    except ImportError:  # pragma: no cover
+        return None
+    cand = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    return str(cand) if cand.exists() else None
+
+
+spark_submit = _find_spark_submit()
 
 
 def _build_zip(dest: Path) -> Path:
