@@ -41,30 +41,41 @@ from . import cells
 
 WAY_TAG_COLUMNS = list(C.TAG_WHITELIST)
 
-_POINTS_SCHEMA = T.StructType([
-    T.StructField("way_id", T.StringType()),
-    T.StructField("layer", T.StringType()),
-    T.StructField("pt_seq", T.IntegerType()),
-    T.StructField("x", T.DoubleType()),
-    T.StructField("y", T.DoubleType()),
-    T.StructField("cell", T.LongType()),
-])
+# way_id / road_id carry the type of the input `id` column: the flagship
+# dictionary-encodes way ids to int64 before these relations are built
+# (see score_way_table), because the id repeats per sampled point / per
+# covered cell / per candidate pair — at web scale the string form is
+# pure shuffle weight, and the shuffled relations only ever group, join,
+# and count-distinct on it.  Callers with string ids (library use, unit
+# fixtures) still get string-keyed output: the schema follows the input.
+def _points_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("way_id", id_type),
+        T.StructField("layer", T.StringType()),
+        T.StructField("pt_seq", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("cell", T.LongType()),
+    ])
 
-_ROAD_CELLS_SCHEMA = T.StructType([
-    T.StructField("road_id", T.StringType()),
-    T.StructField("road_highway", T.StringType()),
-    T.StructField("road_name", T.StringType()),
-    T.StructField("road_maxspeed", T.DoubleType()),
-    T.StructField("road_layer", T.StringType()),
-    T.StructField("cell", T.LongType()),
-    # CLIPPED local segments as a FLAT float32 array of [ax, ay, bx, by]
-    # quadruples RELATIVE to the cell's metric origin.  Cell-relative
-    # magnitude is <= cell_size + pad (~86 m), so float32 keeps ~1e-5 m
-    # precision — far inside the 22 m predicate's tolerance — at 1/3 the
-    # shuffle bytes of the former array<array<double>> encoding (and with
-    # one Arrow offset buffer instead of one child array per segment).
-    T.StructField("road_geom", T.ArrayType(T.FloatType())),
-])
+
+def _road_cells_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("road_id", id_type),
+        T.StructField("road_highway", T.StringType()),
+        T.StructField("road_name", T.StringType()),
+        T.StructField("road_maxspeed", T.DoubleType()),
+        T.StructField("road_layer", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        # CLIPPED local segments as a FLAT float32 array of [ax, ay, bx,
+        # by] quadruples RELATIVE to the cell's metric origin.
+        # Cell-relative magnitude is <= cell_size + pad (~86 m), so
+        # float32 keeps ~1e-5 m precision — far inside the 22 m
+        # predicate's tolerance — at 1/3 the shuffle bytes of the former
+        # array<array<double>> encoding (and with one Arrow offset buffer
+        # instead of one child array per segment).
+        T.StructField("road_geom", T.ArrayType(T.FloatType())),
+    ])
 
 
 def _flat_geom(df: DataFrame):
@@ -133,7 +144,7 @@ def sample_points(paths: DataFrame) -> DataFrame:
             })
 
     return paths.select("id", "layer", _flat_geom(paths)).mapInPandas(
-        gen, _POINTS_SCHEMA)
+        gen, _points_schema(paths.schema["id"].dataType))
 
 
 def road_cell_index(roads: DataFrame) -> DataFrame:
@@ -203,7 +214,8 @@ def road_cell_index(roads: DataFrame) -> DataFrame:
             })
 
     return roads.select("id", "highway", "name", "maxspeed", "layer",
-                        _flat_geom(roads)).mapInPandas(gen, _ROAD_CELLS_SCHEMA)
+                        _flat_geom(roads)).mapInPandas(
+        gen, _road_cells_schema(roads.schema["id"].dataType))
 
 
 def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
@@ -241,9 +253,9 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
                  *[c for c in cols if c != "cell"])
 
     schema = T.StructType([
-        T.StructField("way_id", T.StringType()),
+        T.StructField("way_id", points.schema["way_id"].dataType),
         T.StructField("pt_seq", T.IntegerType()),
-        T.StructField("road_id", T.StringType()),
+        T.StructField("road_id", road_cells.schema["road_id"].dataType),
         T.StructField("road_highway", T.StringType()),
         T.StructField("road_name", T.StringType()),
         T.StructField("road_maxspeed", T.DoubleType()),
@@ -405,8 +417,15 @@ def apply_sidepath_spark(ways: DataFrame, agg: DataFrame) -> DataFrame:
     # aggregate (a handful of numeric columns, ~one row per way) and AQE
     # skew-join splits oversized partitions; a wide or heavily skewed
     # build side should fall back to SMJ.
+    #
+    # Key: the flagship dictionary-encodes way ids (score_way_table adds
+    # __iid), so when present the join hashes 8-byte longs instead of id
+    # strings; library callers without __iid join on the string id.
+    key = "__iid" if "__iid" in ways.columns else "id"
     joined = ways.join(agg.hint("shuffle_hash"),
-                       ways["id"] == agg["way_id"], "left")
+                       ways[key] == agg["way_id"], "left")
+    if key == "__iid":
+        joined = joined.drop("__iid")
     return _sidepath_writeback(joined)
 
 
@@ -659,10 +678,12 @@ def score_distinct_join(slim: DataFrame, agg: DataFrame,
     ``score_batches``; this plan stays available, identity-tested
     (tests/test_grouped_eval.py), for the regime it was built for.
     """
-    tag_cols = [c for c in slim.columns if c not in ("id", "__tsig")]
+    tag_cols = [c for c in slim.columns
+                if c not in ("id", "__iid", "__tsig")]
+    key = "__iid" if "__iid" in slim.columns else "id"
     ws = slim if "__tsig" in slim.columns \
         else slim.withColumn("__tsig", _signature_col(tag_cols))
-    tag_rep = ws.drop("id").dropDuplicates().persist()
+    tag_rep = ws.drop("id", "__iid").dropDuplicates().persist()
     n_tags = tag_rep.count()
     n_tsigs = tag_rep.select("__tsig").distinct().count()
     n_rows = slim.count()
@@ -674,8 +695,9 @@ def score_distinct_join(slim: DataFrame, agg: DataFrame,
 
     # narrow per-way relation; persisted so every consumer sees ONE
     # evaluation of the (collect_list-order-nondeterministic) aggregates
-    narrow = (ws.select("id", "__tsig")
-              .join(agg, F.col("id") == F.col("way_id"), "left")
+    narrow = (ws.select("id", *([key] if key != "id" else []), "__tsig")
+              .join(agg, F.col(key) == F.col("way_id"), "left")
+              .drop(*([key] if key != "id" else []))
               .withColumn("__has_agg", F.col("way_id").isNotNull())
               .withColumn("__ms_key", F.expr(
                   "cast(array_sort(map_entries(ms_map)) as string)"))
@@ -746,10 +768,21 @@ def score_way_table(ways: DataFrame,
     # EnsureRequirements re-exchanges the wide side anyway — the
     # repartition then costs a full extra shuffle pass of the widest
     # relation: local[4] R=400 wall 46.7 s -> 64.4 s.)
-    ways = ways.drop(*[c for c in ("url",) if c in ways.columns]).persist()
-    paths = ways.filter(F.col("highway").isin(C.PATH_HIGHWAYS))
-    roads = ways.filter(~F.col("highway").isin(C.ROAD_EXCLUDED_HIGHWAYS)
-                        | F.col("highway").isNull())
+    # __iid: per-way int64 dictionary code (unique by construction; stable
+    # under the persist).  Every shuffled relation downstream of the
+    # spatial join — points (one row per sampled point), rcells (one row
+    # per covered cell), the refined pair relation, and the per-way
+    # aggregates — carries the 8-byte code instead of the id string, and
+    # the writeback join hashes longs.  The string id stays only on the
+    # persisted wide relation, where it is output payload.
+    ways = (ways.drop(*[c for c in ("url",) if c in ways.columns])
+            .withColumn("__iid", F.monotonically_increasing_id())
+            .persist())
+    paths = (ways.filter(F.col("highway").isin(C.PATH_HIGHWAYS))
+             .drop("id").withColumnRenamed("__iid", "id"))
+    roads = (ways.filter(~F.col("highway").isin(C.ROAD_EXCLUDED_HIGHWAYS)
+                         | F.col("highway").isNull())
+             .drop("id").withColumnRenamed("__iid", "id"))
     points = sample_points(paths).persist()
     rcells = road_cell_index(roads)
     # pairs has exactly ONE consumer (the count-map aggregation) — caching
