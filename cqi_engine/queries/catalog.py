@@ -720,12 +720,15 @@ def _dedup_minhash_fn(spark, sf_dir: str):
     signatures keeps every stage single-scan; the SQL arithmetic is the
     shared template's, so the oracle still matches bit-for-bit.
 
-    At sf0.1 the two plans time within noise of each other — the cost is
-    dominated by the candidate DISTINCT over ~30M band-collision rows
-    (7.54M distinct pairs; the corpus is 7% near-duplicate) — but the
-    redundant corpus scans the persist removes grow linearly with corpus
-    size while the collision volume is a property of the duplicate rate,
-    so single-scan is the correct posture at 100 TB."""
+    Candidate generation (round 4): ~30M band-collision rows collapse to
+    7.54M unique pairs (the corpus is 7% near-duplicate) WITHOUT a global
+    DISTINCT — each band row carries the doc's full band-key signature
+    and a pair is emitted only by its first colliding band, so uniqueness
+    is decided locally in the bucket and the 30M-row dedup exchange is
+    gone from the plan.  Wall time at sf0.1 is unchanged (~12 s; the cost
+    is the inherent 30M-pair generation + 7.5M exact-jaccard verify, both
+    properties of the duplicate rate, not of the plan), but at 100 TB the
+    removed exchange is bands x true-pair-count rows of shuffle."""
     d = SPARK
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
@@ -743,31 +746,85 @@ def _dedup_minhash_fn(spark, sf_dir: str):
         for j, (a, b) in enumerate(D.MINHASH_PERMS))
     rows = len(D.MINHASH_PERMS) // D.LSH_BANDS
     mixm = (1 << 31) - 1
-    band_structs = []
+    key_exprs = []
     for band in range(D.LSH_BANDS):
         expr = "0"
         for r in range(rows):
             expr = f"((({expr}) * 1000003L + s{band * rows + r}) % {mixm}L)"
-        band_structs.append(
-            f"named_struct('band_idx', {band}, "
-            f"'band_key', cast({expr} as bigint))")
+        key_exprs.append(f"cast({expr} as bigint) as k{band}")
+    k_cols = ", ".join(f"k{b}" for b in range(D.LSH_BANDS))
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_key', k{b})"
+        for b in range(D.LSH_BANDS))
     bands_df = spark.sql(f"""
-        select doc_id, b.band_idx, b.band_key
-        from (select doc_id, {sig_cols}
-              from (select doc_id, {ths} as ths from mh_toks) x) sigs
-        lateral view explode(array({', '.join(band_structs)})) t as b
+        select doc_id, b.band_idx, b.band_key, {k_cols}
+        from (select doc_id, {', '.join(key_exprs)}
+              from (select doc_id, {sig_cols}
+                    from (select doc_id, {ths} as ths from mh_toks) x)) sigs
+        lateral view explode(array({band_structs})) t as b
     """).persist()
     bands_df.createOrReplaceTempView("mh_bands")
 
+    # Candidate-stage diet (round 4), two independent cuts, measured at
+    # sf0.1/local[32]:
+    #
+    # 1. SINGLETON-BAND PRUNING: a (band_idx, band_key) bucket of size 1
+    #    can produce no pair; the semi-join against the non-singleton
+    #    bucket list (one map-side-combinable count; unhinted, so AQE
+    #    broadcasts it while small) shrinks the self-join input to the
+    #    colliding minority.  On a mostly-unique web corpus that is the
+    #    bulk of all band rows; on THIS template-heavy synthetic corpus it
+    #    prunes only ~1.4% (19,723 of 20,000 band rows collide) — kept
+    #    because the real-corpus case is the one that matters at scale.
+    # 2. FIRST-COLLIDING-BAND EMISSION instead of a global DISTINCT: the
+    #    former plan generated ~4 collision rows per true near-dup pair
+    #    (near-dups collide in every band) and paid one full shuffle +
+    #    hash dedup of ~30M rows to collapse them (~10.6 s, the dominant
+    #    stage).  Each band row now carries the doc's full 4-key signature
+    #    as SCALAR columns k0..k3 (32 B; scalars, not an array — Spark
+    #    evaluates higher-order array functions interpreted, and a
+    #    zip_with-based prefix check measured 115 s vs 6-7 s for the
+    #    whole-stage-codegen'd scalar conjuncts), so a bucket decides
+    #    LOCALLY whether an earlier band already emitted the pair — every
+    #    pair is emitted exactly once, by construction, and the 30M-row
+    #    dedup exchange disappears from the plan entirely.
+    # (Also measured, kept OUT: skew.py-style salting of the bucket
+    # self-join — probe side salted by doc hash, build side replicated
+    # per salt, splitting a hot bucket's k^2/2-pair generation across
+    # salt_k reducers.  Row-identical, but 13.5 s vs 12.1 s here: at this
+    # scale generation is already spread across enough buckets that the
+    # build-side replication costs more than the split buys.  The hint
+    # stays documented because a single mega-cluster corpus would need it.)
+    spark.sql("""
+        select band_idx, band_key from mh_bands
+        group by band_idx, band_key having count(*) >= 2
+    """).createOrReplaceTempView("mh_hot_bands")
+    spark.sql(f"""
+        select b.doc_id, b.band_idx, b.band_key, {k_cols}
+        from mh_bands b join mh_hot_bands h
+          on b.band_idx = h.band_idx and b.band_key = h.band_key
+    """).createOrReplaceTempView("mh_pruned")
+
+    first_band_owner = " and ".join(
+        f"not (a.band_idx > {j} and a.k{j} = b.k{j})"
+        for j in range(D.LSH_BANDS - 1))
     inter = "size(array_intersect(da.toks, db.toks))"
     union = "size(array_union(da.toks, db.toks))"
     jac = f"(cast({inter} as double) / {union})"
+    # REBALANCE: the bucket self-join's output inherits the (heavily
+    # skewed) band-bucket layout, and the verify joins broadcast the small
+    # token table, so WITHOUT an exchange the jaccard arithmetic — the
+    # CPU-heavy part — would run on whatever few partitions hold the hot
+    # template buckets (measured 60 s vs 6-7 s).  One AQE rebalance of the
+    # narrow 16-byte pair rows restores even parallelism at a fraction of
+    # the old 30M-row dedup exchange's cost.
     return spark.sql(f"""
         with cand as (
-          select distinct a.doc_id as doc_a, b.doc_id as doc_b
-          from mh_bands a join mh_bands b
+          select /*+ REBALANCE */ a.doc_id as doc_a, b.doc_id as doc_b
+          from mh_pruned a join mh_pruned b
             on a.band_idx = b.band_idx and a.band_key = b.band_key
            and a.doc_id < b.doc_id
+          where {first_band_owner}
         )
         select c.doc_a, c.doc_b,
                cast(round({jac}, 6) as double) as jaccard
