@@ -53,8 +53,14 @@ def _points_schema(id_type: T.DataType) -> T.StructType:
         T.StructField("way_id", id_type),
         T.StructField("layer", T.StringType()),
         T.StructField("pt_seq", T.IntegerType()),
-        T.StructField("x", T.DoubleType()),
-        T.StructField("y", T.DoubleType()),
+        # point coords CELL-RELATIVE in float32 (xr = x - floor(x/cell)*
+        # cell), the same encoding as the segment payload below: relative
+        # magnitude < 64 m keeps float32 at ~4e-6 m precision — far
+        # inside the 22 m predicate's tolerance — at half the shuffle
+        # bytes of absolute float64; the refine kernel rebuilds absolute
+        # float64 coords from the (joined) cell's origin.
+        T.StructField("xr", T.FloatType()),
+        T.StructField("yr", T.FloatType()),
         T.StructField("cell", T.LongType()),
     ])
 
@@ -128,19 +134,29 @@ def sample_points(paths: DataFrame) -> DataFrame:
     the former per-way loop paid ~26 us of numpy fixed overhead on every
     2-5-vertex way, which dominated the stage at web-corpus batch sizes.
     """
+    csize = cells.cell_size(cells.JOIN_RES)
+
     def gen(batches):
         for pdf in batches:
             M, offs = _metric_batched(pdf["geom_flat"].to_numpy(object))
             way, seq, px, py = sample_points_along_batch(
                 M, offs, C.SIDEPATH_SAMPLE_SPACING_M)
+            if len(px):
+                cell = cells.cell_id_np(px, py)
+                # cell-relative float32 (same floor as cell_id_np, so the
+                # refine kernel's per-cell origin reconstructs exactly)
+                xr = (px - np.floor(px / csize) * csize).astype(np.float32)
+                yr = (py - np.floor(py / csize) * csize).astype(np.float32)
+            else:
+                cell = np.empty(0, dtype=np.int64)
+                xr = yr = np.empty(0, dtype=np.float32)
             yield pd.DataFrame({
                 "way_id": pdf["id"].to_numpy(object)[way],
                 "layer": pdf["layer"].to_numpy(object)[way],
                 "pt_seq": seq.astype(np.int32),
-                "x": px,
-                "y": py,
-                "cell": (cells.cell_id_np(px, py) if len(px)
-                         else np.empty(0, dtype=np.int64)),
+                "xr": xr,
+                "yr": yr,
+                "cell": cell,
             })
 
     return paths.select("id", "layer", _flat_geom(paths)).mapInPandas(
@@ -233,8 +249,8 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
     the north_rule's explicit skew mechanism for dense-city cells, with AQE
     as the backstop when left off.
     """
-    cols = ["way_id", "pt_seq", "x", "y", "cell", "road_id", "road_highway",
-            "road_name", "road_maxspeed", "road_geom"]
+    cols = ["way_id", "pt_seq", "xr", "yr", "cell", "road_id",
+            "road_highway", "road_name", "road_maxspeed", "road_geom"]
     if salt_threshold is not None:
         from .skew import salted_join
         joined = salted_join(
@@ -298,9 +314,14 @@ def dwithin_pairs(points: DataFrame, road_cells: DataFrame,
             seg += np.repeat(
                 np.column_stack([ix, iy, ix, iy]).astype(float) * csize,
                 s_cnt, axis=0)
-            px = pdf["x"].to_numpy(dtype=float)[order]
-            py = pdf["y"].to_numpy(dtype=float)[order]
             g_of_pt = np.repeat(np.arange(len(gstart)), g_pt_cnt)
+            # point coords arrive cell-relative float32; the point's cell
+            # IS the group's cell (it is the join key), so the group
+            # origin rebuilds absolute float64 coords
+            px = (pdf["xr"].to_numpy(dtype=np.float64)[order]
+                  + ix[g_of_pt] * csize)
+            py = (pdf["yr"].to_numpy(dtype=np.float64)[order]
+                  + iy[g_of_pt] * csize)
             sc_of_pt = s_cnt[g_of_pt]
             pair_start = np.r_[0, np.cumsum(sc_of_pt)]
             total = int(pair_start[-1])
