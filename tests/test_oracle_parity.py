@@ -68,17 +68,13 @@ def test_oracle_match(spark, duck, name):
     assert not mism, f"{name}: {len(mism)} value mismatches; first: {mism[:3]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_smoke(spark, name):
-    """Rows-only entries still go through the driver's pandas-canonicalize
-    path (collect -> sort all columns -> hash), so exercise THAT here —
-    a bare .count() masked the round-1 media_decode array-column crash."""
-    q = CATALOG[name]
-    sdf = run_query(spark, "/root/testdata/sf0.001", q)
-    pdf = sdf.toPandas()
-    assert pdf.shape[0] >= 0
-    if len(pdf):
-        pdf.sort_values(by=list(pdf.columns))  # driver-style canonicalize
+def test_no_rows_only_queries_left():
+    """Every catalog entry carries an exact DuckDB oracle (rows-only
+    entries get only the driver's weaker rows+schema check).  If this
+    ever regresses, resurrect the per-query pandas-canonicalize smoke
+    that lived here through round 3 — a bare .count() masked the round-1
+    media_decode array-column crash."""
+    assert ROWS_ONLY_QUERIES == []
 
 
 def test_flagship_fixture_fresh(duck):
