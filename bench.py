@@ -239,7 +239,11 @@ def _bench_streaming_sessionize(spark, sf_dir: str, timings: dict,
              .queryName("bench_sessions")
              .option("checkpointLocation", os.path.join(td, "ck"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(600)
+        try:
+            q.awaitTermination(600)
+        finally:
+            if q.isActive:  # timed out: stop before the dir vanishes
+                q.stop()
         row_counts["streaming_sessionize"] = \
             spark.table("bench_sessions").count()
         timings["streaming_sessionize"] = round(time.perf_counter() - t0, 3)

@@ -817,5 +817,13 @@ def score_way_table(ways: DataFrame,
     # dominant payload of both.
     slim = ways.drop(*[c for c in ("geom_lonlat", "__tsig")
                        if c in ways.columns])
+    # (Measured negative, kept out: packing the ~80 mostly-null tag
+    # columns into one non-null-entry map<string,string> for the
+    # writeback shuffle and GetMapValue-unpacking after the join.  The
+    # hypothesis was that UnsafeRow's 8-byte-per-column fixed slots
+    # dominate the shuffle; in fact lz4 flattens the null slots almost
+    # for free while the map's per-row repeated KEY strings do not:
+    # flagship shuffle measured 61.5 MB columnar vs 65.9 MB packed at
+    # 200k pages, wall unchanged.  Columnar stays.)
     enriched = apply_sidepath_spark(slim, agg)
     return score_batches(enriched, offset_distance=offset_distance)
