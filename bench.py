@@ -225,11 +225,15 @@ def _bench_streaming_sessionize(spark, sf_dir: str, timings: dict,
     try:
         src = os.path.join(td, "events_in")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # persist: four chunk writes would otherwise re-run the global
+        # sort per chunk, and equal-ts ties must split identically in
+        # every chunk's view of the ntile
         ordered = ev.orderBy("ts").withColumn(
-            "chunk", F.ntile(4).over(Window.orderBy("ts")))
+            "chunk", F.ntile(4).over(Window.orderBy("ts"))).persist()
         for c in (1, 2, 3, 4):
             (ordered.filter(F.col("chunk") == c).drop("chunk")
              .coalesce(1).write.mode("append").parquet(src))
+        ordered.unpersist()
 
         t0 = time.perf_counter()
         stream = (spark.readStream.schema(ev.schema)

@@ -789,16 +789,31 @@ def score_way_table(ways: DataFrame,
     # EnsureRequirements re-exchanges the wide side anyway — the
     # repartition then costs a full extra shuffle pass of the widest
     # relation: local[4] R=400 wall 46.7 s -> 64.4 s.)
-    # __iid: per-way int64 dictionary code (unique by construction; stable
-    # under the persist).  Every shuffled relation downstream of the
-    # spatial join — points (one row per sampled point), rcells (one row
-    # per covered cell), the refined pair relation, and the per-way
-    # aggregates — carries the 8-byte code instead of the id string, and
-    # the writeback join hashes longs.  The string id stays only on the
-    # persisted wide relation, where it is output payload.
+    # __iid: per-way int64 dictionary code.  Every shuffled relation
+    # downstream of the spatial join — points (one row per sampled
+    # point), rcells (one row per covered cell), the refined pair
+    # relation, and the per-way aggregates — carries the 8-byte code
+    # instead of the id string, and the writeback join hashes longs.
+    # The string id stays only on the persisted wide relation, where it
+    # is output payload.
+    #
+    # Key-stability discipline: monotonically_increasing_id is
+    # POSITIONAL, so a lost cache block recomputed through any
+    # nondeterministic-fetch-order shuffle upstream could reassign codes
+    # between consumers and silently unmatch the writeback join on a real
+    # cluster.  Two alternatives were weighed: value-hash keys
+    # (xxhash64(id)) are recompute-stable but *incompressible* — measured
+    # +14.2 MB (+23%) on the flagship shuffle, erasing the entire
+    # encoding win, plus a birthday-collision hazard at web scale.  So
+    # the codes stay positional and the relation's lineage is TRUNCATED
+    # instead (localCheckpoint): a recompute of the id-bearing relation
+    # becomes impossible — block loss fails the job loudly rather than
+    # silently reassigning keys, and on a real cluster this persist
+    # boundary is a reliable checkpoint / Iceberg snapshot anyway
+    # (jobs/score_job.py writes exactly that).
     ways = (ways.drop(*[c for c in ("url",) if c in ways.columns])
             .withColumn("__iid", F.monotonically_increasing_id())
-            .persist())
+            .localCheckpoint(eager=False))
     paths = (ways.filter(F.col("highway").isin(C.PATH_HIGHWAYS))
              .drop("id").withColumnRenamed("__iid", "id"))
     roads = (ways.filter(~F.col("highway").isin(C.ROAD_EXCLUDED_HIGHWAYS)

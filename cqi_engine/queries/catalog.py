@@ -799,15 +799,17 @@ def _dedup_minhash_fn(spark, sf_dir: str):
         select band_idx, band_key from mh_bands
         group by band_idx, band_key having count(*) >= 2
     """).createOrReplaceTempView("mh_hot_bands")
-    spark.sql(f"""
+    pruned_df = spark.sql(f"""
         select b.doc_id, b.band_idx, b.band_key, {k_cols}
         from mh_bands b join mh_hot_bands h
           on b.band_idx = h.band_idx and b.band_key = h.band_key
-    """).createOrReplaceTempView("mh_pruned")
+    """).persist()  # both sides of the self-join read it; without the
+    #                 persist the count agg + semi-join would run twice
+    pruned_df.createOrReplaceTempView("mh_pruned")
 
     first_band_owner = " and ".join(
-        f"not (a.band_idx > {j} and a.k{j} = b.k{j})"
-        for j in range(D.LSH_BANDS - 1))
+        [f"not (a.band_idx > {j} and a.k{j} = b.k{j})"
+         for j in range(D.LSH_BANDS - 1)] or ["true"])  # 1-band degenerate
     inter = "size(array_intersect(da.toks, db.toks))"
     union = "size(array_union(da.toks, db.toks))"
     jac = f"(cast({inter} as double) / {union})"
