@@ -235,19 +235,31 @@ def _bench_streaming_sessionize(spark, sf_dir: str, timings: dict,
              .coalesce(1).write.mode("append").parquet(src))
         ordered.unpersist()
 
+        # State-store instances are per shuffle partition per microbatch;
+        # each one pays a delta-file write + commit regardless of state
+        # size, so the partition count must track STATE VOLUME (distinct
+        # user_ids here, 1,500 at sf0.1), not the batch session's
+        # cpus*2=64 — at 64, 4 microbatches pay 256 near-empty store
+        # commits and the bench times checkpoint fsyncs, not the operator.
+        # At 100 TB scale the same knob goes UP with the keyspace.
+        prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         t0 = time.perf_counter()
-        stream = (spark.readStream.schema(ev.schema)
-                  .option("maxFilesPerTrigger", 1).parquet(src))
-        q = (sessionize_stream(stream).writeStream
-             .outputMode("append").format("memory")
-             .queryName("bench_sessions")
-             .option("checkpointLocation", os.path.join(td, "ck"))
-             .trigger(availableNow=True).start())
         try:
-            q.awaitTermination(600)
+            stream = (spark.readStream.schema(ev.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            q = (sessionize_stream(stream).writeStream
+                 .outputMode("append").format("memory")
+                 .queryName("bench_sessions")
+                 .option("checkpointLocation", os.path.join(td, "ck"))
+                 .trigger(availableNow=True).start())
+            try:
+                q.awaitTermination(600)
+            finally:
+                if q.isActive:  # timed out: stop before the dir vanishes
+                    q.stop()
         finally:
-            if q.isActive:  # timed out: stop before the dir vanishes
-                q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
         row_counts["streaming_sessionize"] = \
             spark.table("bench_sessions").count()
         timings["streaming_sessionize"] = round(time.perf_counter() - t0, 3)

@@ -43,6 +43,28 @@ def probe_gbps(workers: int = 8, tasks: int = 16,
     return round(tasks * n_bytes / best / 1e9, 2)
 
 
+def competing_load() -> str:
+    """Name of a foreground workload that would corrupt the protocol.
+
+    The probe reads LOW while pytest/bench/a replicate run is chewing the
+    bus (so healthy-probe + contention is rare), but a probe taken in the
+    gap between two pytest sessions can pass and then the protocol collides
+    with the next one.  Never spend a window on contended wall times.
+    """
+    try:
+        out = subprocess.run(
+            ["pgrep", "-af", "pytest|bench[.]py|scaling_bench[.]py"],
+            capture_output=True, text=True, timeout=10).stdout
+    except (OSError, subprocess.SubprocessError):
+        return ""
+    me = os.getpid()
+    for line in out.splitlines():
+        pid, _, cmd = line.partition(" ")
+        if pid.isdigit() and int(pid) != me and "watch_scaling" not in cmd:
+            return cmd.strip()
+    return ""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--min-gbps", type=float, default=8.0,
@@ -68,6 +90,13 @@ def main() -> None:
             timespec="seconds")
         print(f"{stamp} probe {gbps} GB/s (threshold {args.min_gbps}, "
               f"streak {streak})", flush=True)
+        rival = competing_load()
+        if rival:
+            print(f"{stamp} competing workload ({rival[:80]}) — deferring",
+                  flush=True)
+            streak = 0
+            time.sleep(args.interval)
+            continue
         if gbps >= args.min_gbps:
             # one healthy probe is often a transient spike (a 2026-08-17
             # session triggered on 4.09 GB/s and every run's bracket probe
