@@ -85,11 +85,10 @@ def main() -> None:
     deadline = time.time() + args.max_hours * 3600
     streak = 0
     while time.time() < deadline:
-        gbps = probe_gbps()
         stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
             timespec="seconds")
-        print(f"{stamp} probe {gbps} GB/s (threshold {args.min_gbps}, "
-              f"streak {streak})", flush=True)
+        # rival check BEFORE the probe: the probe itself is ~4 s of
+        # full-bus traffic and would contaminate a live timed run
         rival = competing_load()
         if rival:
             print(f"{stamp} competing workload ({rival[:80]}) — deferring",
@@ -97,6 +96,9 @@ def main() -> None:
             streak = 0
             time.sleep(args.interval)
             continue
+        gbps = probe_gbps()
+        print(f"{stamp} probe {gbps} GB/s (threshold {args.min_gbps}, "
+              f"streak {streak})", flush=True)
         if gbps >= args.min_gbps:
             # one healthy probe is often a transient spike (a 2026-08-17
             # session triggered on 4.09 GB/s and every run's bracket probe
