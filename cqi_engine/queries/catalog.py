@@ -757,10 +757,11 @@ def _dedup_minhash_fn(spark, sf_dir: str):
         f"named_struct('band_idx', {b}, 'band_key', k{b})"
         for b in range(D.LSH_BANDS))
     bands_df = spark.sql(f"""
-        select doc_id, b.band_idx, b.band_key, {k_cols}
-        from (select doc_id, {', '.join(key_exprs)}
-              from (select doc_id, {sig_cols}
-                    from (select doc_id, {ths} as ths from mh_toks) x)) sigs
+        select doc_id, nt, b.band_idx, b.band_key, {k_cols}
+        from (select doc_id, nt, {', '.join(key_exprs)}
+              from (select doc_id, nt, {sig_cols}
+                    from (select doc_id, size(toks) as nt, {ths} as ths
+                          from mh_toks) x)) sigs
         lateral view explode(array({band_structs})) t as b
     """).persist()
     bands_df.createOrReplaceTempView("mh_bands")
@@ -800,7 +801,7 @@ def _dedup_minhash_fn(spark, sf_dir: str):
         group by band_idx, band_key having count(*) >= 2
     """).createOrReplaceTempView("mh_hot_bands")
     pruned_df = spark.sql(f"""
-        select b.doc_id, b.band_idx, b.band_key, {k_cols}
+        select b.doc_id, b.nt, b.band_idx, b.band_key, {k_cols}
         from mh_bands b join mh_hot_bands h
           on b.band_idx = h.band_idx and b.band_key = h.band_key
     """).persist()  # both sides of the self-join read it; without the
@@ -820,12 +821,22 @@ def _dedup_minhash_fn(spark, sf_dir: str):
     # template buckets (measured 60 s vs 6-7 s).  One AQE rebalance of the
     # narrow 16-byte pair rows restores even parallelism at a fraction of
     # the old 30M-row dedup exchange's cost.
+    # 3. SIZE-RATIO PREFILTER (round 4, second pass): jac >= 0.9 implies
+    #    |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so a pair with
+    #    10*min(nt) < 9*max(nt) provably fails the verify — a 3-instruction
+    #    integer test on counts the band rows already carry (nt threaded
+    #    through sigs, +8 B/row) kills it INSIDE the bucket self-join,
+    #    before the REBALANCE exchange and before either token-array
+    #    fetch.  On this corpus it removes 61.4% of the 7.54M candidates
+    #    (measured); lossless by construction, so the naive DuckDB oracle
+    #    still matches bit-for-bit.
     return spark.sql(f"""
         with cand as (
           select /*+ REBALANCE */ a.doc_id as doc_a, b.doc_id as doc_b
           from mh_pruned a join mh_pruned b
             on a.band_idx = b.band_idx and a.band_key = b.band_key
            and a.doc_id < b.doc_id
+           and least(a.nt, b.nt) * 10 >= greatest(a.nt, b.nt) * 9
           where {first_band_owner}
         )
         select c.doc_a, c.doc_b,
