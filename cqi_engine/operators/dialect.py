@@ -34,6 +34,13 @@ POW31 = [31 ** i for i in range(8)]
 MINHASH_PRIME = (1 << 31) - 1
 MINHASH_PERMS = [(709 + 97 * j, 3571 + 131 * j) for j in range(16)]
 LSH_BANDS = 4  # 16 hashes -> 4 bands x 4 rows
+# Verify threshold as an exact integer ratio: the SQL verify predicates
+# (`jac >= NUM/DEN`) and the size-ratio prefilter (`DEN*min(|A|,|B|) >=
+# NUM*max(|A|,|B|)`, lossless because jac <= min/max) MUST encode the
+# same bound — derive both from here, never restate the literal.
+MINHASH_JACCARD_NUM = 9
+MINHASH_JACCARD_DEN = 10
+MINHASH_JACCARD = MINHASH_JACCARD_NUM / MINHASH_JACCARD_DEN  # 0.9
 
 def arr_lit(vals, dialect: str) -> str:
     if dialect == SPARK:

@@ -659,7 +659,7 @@ select c.doc_a, c.doc_b,
 from cand c
 join documents da on da.doc_id = c.doc_a
 join documents db on db.doc_id = c.doc_b
-where {jac} >= 0.9
+where {jac} >= {D.MINHASH_JACCARD}
 """
 
 
@@ -708,7 +708,7 @@ select c.doc_a, c.doc_b,
 from cand c
 join th da on da.doc_id = c.doc_a
 join th db on db.doc_id = c.doc_b
-where {jac} >= 0.9
+where {jac} >= {D.MINHASH_JACCARD}
 """
 
 
@@ -821,22 +821,24 @@ def _dedup_minhash_fn(spark, sf_dir: str):
     # template buckets (measured 60 s vs 6-7 s).  One AQE rebalance of the
     # narrow 16-byte pair rows restores even parallelism at a fraction of
     # the old 30M-row dedup exchange's cost.
-    # 3. SIZE-RATIO PREFILTER (round 4, second pass): jac >= 0.9 implies
+    # 3. SIZE-RATIO PREFILTER (round 4, second pass): jac >= t implies
     #    |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so a pair with
-    #    10*min(nt) < 9*max(nt) provably fails the verify — a 3-instruction
-    #    integer test on counts the band rows already carry (nt threaded
-    #    through sigs, +8 B/row) kills it INSIDE the bucket self-join,
-    #    before the REBALANCE exchange and before either token-array
-    #    fetch.  On this corpus it removes 61.4% of the 7.54M candidates
-    #    (measured); lossless by construction, so the naive DuckDB oracle
-    #    still matches bit-for-bit.
+    #    DEN*min(nt) < NUM*max(nt) provably fails the verify — a
+    #    3-instruction integer test on counts the band rows already carry
+    #    (nt threaded through sigs, +8 B/row) kills it INSIDE the bucket
+    #    self-join, before the REBALANCE exchange and before either
+    #    token-array fetch.  Threshold and ratio both derive from
+    #    D.MINHASH_JACCARD_NUM/DEN so they cannot drift apart.  On this
+    #    corpus it removes 61.4% of the 7.54M candidates (measured);
+    #    lossless by construction, so the naive DuckDB oracle still
+    #    matches bit-for-bit.
     return spark.sql(f"""
         with cand as (
           select /*+ REBALANCE */ a.doc_id as doc_a, b.doc_id as doc_b
           from mh_pruned a join mh_pruned b
             on a.band_idx = b.band_idx and a.band_key = b.band_key
            and a.doc_id < b.doc_id
-           and least(a.nt, b.nt) * 10 >= greatest(a.nt, b.nt) * 9
+           and least(a.nt, b.nt) * {D.MINHASH_JACCARD_DEN} >= greatest(a.nt, b.nt) * {D.MINHASH_JACCARD_NUM}
           where {first_band_owner}
         )
         select c.doc_a, c.doc_b,
@@ -844,7 +846,7 @@ def _dedup_minhash_fn(spark, sf_dir: str):
         from cand c
         join mh_toks da on da.doc_id = c.doc_a
         join mh_toks db on db.doc_id = c.doc_b
-        where {jac} >= 0.9
+        where {jac} >= {D.MINHASH_JACCARD}
     """)
 
 

@@ -53,7 +53,9 @@ def competing_load() -> str:
     """
     try:
         out = subprocess.run(
-            ["pgrep", "-af", "pytest|bench[.]py|scaling_bench[.]py"],
+            ["pgrep", "-af",
+             "pytest|bench[.]py|scaling_bench[.]py|spark-submit"
+             "|work_invariance|run_scaling_protocol"],
             capture_output=True, text=True, timeout=10).stdout
     except (OSError, subprocess.SubprocessError):
         return ""
@@ -114,6 +116,13 @@ def main() -> None:
                 if confirm < args.min_gbps * 0.8:
                     print(f"{stamp} confirm probe {confirm} GB/s — spike "
                           f"died, back to watching", flush=True)
+                    streak = 0
+                    time.sleep(args.interval)
+                    continue
+                rival = competing_load()  # ~16 s of probing elapsed since
+                if rival:                 # the loop-top check — re-verify
+                    print(f"{stamp} rival appeared during confirm "
+                          f"({rival[:80]}) — deferring", flush=True)
                     streak = 0
                     time.sleep(args.interval)
                     continue
