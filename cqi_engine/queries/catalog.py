@@ -725,10 +725,10 @@ def _dedup_minhash_fn(spark, sf_dir: str):
     DISTINCT — each band row carries the doc's full band-key signature
     and a pair is emitted only by its first colliding band, so uniqueness
     is decided locally in the bucket and the 30M-row dedup exchange is
-    gone from the plan.  Wall time at sf0.1 is unchanged (~12 s; the cost
-    is the inherent 30M-pair generation + 7.5M exact-jaccard verify, both
-    properties of the duplicate rate, not of the plan), but at 100 TB the
-    removed exchange is bands x true-pair-count rows of shuffle."""
+    gone from the plan (at 100 TB that exchange is bands x
+    true-pair-count rows of shuffle).  A size-ratio prefilter (cut 3
+    below) then drops the 61% of candidates that provably cannot pass
+    the verify: benched wall 13.4 -> 9.6 s at sf0.1."""
     d = SPARK
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("documents")
