@@ -886,8 +886,18 @@ def _dedup_simhash_pairs_fn(spark, sf_dir: str):
     15-bit band keys, equi-join band collisions (never all-pairs),
     verify candidates with bit_count(xor) <= 3.  Exact by pigeonhole —
     the DuckDB oracle runs the genuine O(n^2) join and must match
-    bit-for-bit.  The sims stage is persisted so the band explode and
-    the two verify joins scan the corpus text exactly once."""
+    bit-for-bit.
+
+    Round-4 diet (the minhash candidate-stage pattern, but stronger
+    here because the verify key is ONE int64): each band row carries
+    the full h60, so (a) the verify runs INSIDE the bucket self-join —
+    no candidate materialization, no distinct, no re-join against the
+    sims table — and (b) a pair is emitted only by its first colliding
+    band (band j of h60 is recomputable from the carried value), which
+    makes emission globally unique by construction.  The former plan's
+    global DISTINCT over all collision rows and its two broadcast
+    verify joins disappear; the whole query is one persisted map stage
+    + one equi-join."""
     d = SPARK
     sims = spark.sql(_simhash_sims(d)).persist()
     sims.createOrReplaceTempView("sh_sims")
@@ -897,22 +907,25 @@ def _dedup_simhash_pairs_fn(spark, sf_dir: str):
         f"'band_val', (h60 div {1 << (bb * i)}) % {1 << bb})"
         for i in range(D.SIMHASH60_BANDS))
     spark.sql(f"""
-        select doc_id, b.band_idx, b.band_val
+        select doc_id, h60, b.band_idx, b.band_val
         from sh_sims lateral view explode(array({band_structs})) t as b
     """).createOrReplaceTempView("sh_bands")
-    return spark.sql("""
-        with cand as (
-          select distinct a.doc_id as doc_a, b.doc_id as doc_b
-          from sh_bands a join sh_bands b
-            on a.band_idx = b.band_idx and a.band_val = b.band_val
-           and a.doc_id < b.doc_id
-        )
-        select c.doc_a, c.doc_b,
-               cast(bit_count(sa.h60 ^ sb.h60) as int) as hamming
-        from cand c
-        join sh_sims sa on sa.doc_id = c.doc_a
-        join sh_sims sb on sb.doc_id = c.doc_b
-        where bit_count(sa.h60 ^ sb.h60) <= 3
+
+    def band_j(col: str, j: int) -> str:
+        return f"(({col}) div {1 << (bb * j)}) % {1 << bb}"
+
+    first_band_owner = " and ".join(
+        [f"not (a.band_idx > {j} "
+         f"and {band_j('a.h60', j)} = {band_j('b.h60', j)})"
+         for j in range(D.SIMHASH60_BANDS - 1)] or ["true"])
+    return spark.sql(f"""
+        select a.doc_id as doc_a, b.doc_id as doc_b,
+               cast(bit_count(a.h60 ^ b.h60) as int) as hamming
+        from sh_bands a join sh_bands b
+          on a.band_idx = b.band_idx and a.band_val = b.band_val
+         and a.doc_id < b.doc_id
+        where bit_count(a.h60 ^ b.h60) <= 3
+          and {first_band_owner}
     """)
 
 
