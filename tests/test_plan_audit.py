@@ -231,3 +231,24 @@ def test_cell_partitioned_layout_prunes(spark, tmp_path):
     # correctness: pruned read == full-scan filter
     want = cells_df.filter("cell between 1200 and 1399").count()
     assert ranged.count() == want and want > 0
+
+
+def test_simhash_verify_fused_into_band_join(spark):
+    """dedup_simhash_pairs (round-4 shape): the hamming verify runs INSIDE
+    the banded self-join and first-colliding-band ownership replaces the
+    global DISTINCT, so the plan must contain exactly one join, no
+    aggregate of any kind (a DISTINCT would reappear as HashAggregate),
+    and the popcount predicate inside the join/filter stage.  Protects
+    the shape that removed the collision-row dedup exchange and both
+    verify joins (at 100 TB those are bands x collision-count rows of
+    shuffle plus two corpus-wide joins)."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+
+    q = run_query(spark, "/root/testdata/sf0.01",
+                  CATALOG["dedup_simhash_pairs"])
+    plan = _simple_plan(q)
+    assert "Aggregate" not in plan, f"DISTINCT reintroduced:\n{plan}"
+    n_joins = sum(plan.count(j) for j in
+                  ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, f"expected the single banded self-join:\n{plan}"
+    assert "bit_count" in plan, f"verify not in the join stage:\n{plan}"
