@@ -811,9 +811,14 @@ def _dedup_minhash_fn(spark, sf_dir: str):
     first_band_owner = " and ".join(
         [f"not (a.band_idx > {j} and a.k{j} = b.k{j})"
          for j in range(D.LSH_BANDS - 1)] or ["true"])  # 1-band degenerate
-    inter = "size(array_intersect(da.toks, db.toks))"
-    union = "size(array_union(da.toks, db.toks))"
-    jac = f"(cast({inter} as double) / {union})"
+    # |A∪B| = |A| + |B| - |A∩B| for DISTINCT token sets, so the verify
+    # materializes no union array: one array_intersect per pair (computed
+    # once in the `scored` subquery, not re-evaluated in both filter and
+    # project) and integer arithmetic on the nt counts the pair rows
+    # already carry.  The double division is the SAME rational as the
+    # oracle's inter/size(union), so the boundary compare and the
+    # round(..., 6) are bit-identical.
+    jac = "(cast(inter as double) / (nt_a + nt_b - inter))"
     # REBALANCE: the bucket self-join's output inherits the (heavily
     # skewed) band-bucket layout, and the verify joins broadcast the small
     # token table, so WITHOUT an exchange the jaccard arithmetic — the
@@ -834,18 +839,24 @@ def _dedup_minhash_fn(spark, sf_dir: str):
     #    matches bit-for-bit.
     return spark.sql(f"""
         with cand as (
-          select /*+ REBALANCE */ a.doc_id as doc_a, b.doc_id as doc_b
+          select /*+ REBALANCE */ a.doc_id as doc_a, b.doc_id as doc_b,
+                 a.nt as nt_a, b.nt as nt_b
           from mh_pruned a join mh_pruned b
             on a.band_idx = b.band_idx and a.band_key = b.band_key
            and a.doc_id < b.doc_id
            and least(a.nt, b.nt) * {D.MINHASH_JACCARD_DEN} >= greatest(a.nt, b.nt) * {D.MINHASH_JACCARD_NUM}
           where {first_band_owner}
+        ),
+        scored as (
+          select c.doc_a, c.doc_b, c.nt_a, c.nt_b,
+                 size(array_intersect(da.toks, db.toks)) as inter
+          from cand c
+          join mh_toks da on da.doc_id = c.doc_a
+          join mh_toks db on db.doc_id = c.doc_b
         )
-        select c.doc_a, c.doc_b,
+        select doc_a, doc_b,
                cast(round({jac}, 6) as double) as jaccard
-        from cand c
-        join mh_toks da on da.doc_id = c.doc_a
-        join mh_toks db on db.doc_id = c.doc_b
+        from scored
         where {jac} >= {D.MINHASH_JACCARD}
     """)
 
