@@ -663,6 +663,20 @@ where {jac} >= {D.MINHASH_JACCARD}
 """
 
 
+def _first_band_owner(n_bands: int, key_expr) -> str:
+    """SQL conjunct restricting a banded self-join to first-colliding-band
+    emission: a pair row is suppressed when any EARLIER band j also
+    collides, so every pair is emitted exactly once with no global
+    DISTINCT.  ``key_expr(side, j)`` renders band j's key for join side
+    'a'/'b' (a scalar column or a recomputable expression).  Shared by
+    the minhash and simhash candidate stages; single-band configs
+    degenerate to 'true'."""
+    return " and ".join(
+        [f"not (a.band_idx > {j} "
+         f"and {key_expr('a', j)} = {key_expr('b', j)})"
+         for j in range(n_bands - 1)] or ["true"])
+
+
 def _minhash_spark_staged() -> str:
     """Spark-side plan: tokenize ONCE per doc in a CTE (distinct-token
     array + its polyhash array materialized), then derive the 16 minhashes
@@ -808,9 +822,8 @@ def _dedup_minhash_fn(spark, sf_dir: str):
     #                 persist the count agg + semi-join would run twice
     pruned_df.createOrReplaceTempView("mh_pruned")
 
-    first_band_owner = " and ".join(
-        [f"not (a.band_idx > {j} and a.k{j} = b.k{j})"
-         for j in range(D.LSH_BANDS - 1)] or ["true"])  # 1-band degenerate
+    first_band_owner = _first_band_owner(
+        D.LSH_BANDS, lambda s, j: f"{s}.k{j}")
     # |A∪B| = |A| + |B| - |A∩B| for DISTINCT token sets, so the verify
     # materializes no union array: one array_intersect per pair (computed
     # once in the `scored` subquery, not re-evaluated in both filter and
@@ -913,22 +926,20 @@ def _dedup_simhash_pairs_fn(spark, sf_dir: str):
     sims = spark.sql(_simhash_sims(d)).persist()
     sims.createOrReplaceTempView("sh_sims")
     bb = D.SIMHASH60_BAND_BITS
+
+    def band_j(col: str, j: int) -> str:
+        return f"(({col}) div {1 << (bb * j)}) % {1 << bb}"
+
     band_structs = ", ".join(
-        f"named_struct('band_idx', {i}, "
-        f"'band_val', (h60 div {1 << (bb * i)}) % {1 << bb})"
+        f"named_struct('band_idx', {i}, 'band_val', {band_j('h60', i)})"
         for i in range(D.SIMHASH60_BANDS))
     spark.sql(f"""
         select doc_id, h60, b.band_idx, b.band_val
         from sh_sims lateral view explode(array({band_structs})) t as b
     """).createOrReplaceTempView("sh_bands")
 
-    def band_j(col: str, j: int) -> str:
-        return f"(({col}) div {1 << (bb * j)}) % {1 << bb}"
-
-    first_band_owner = " and ".join(
-        [f"not (a.band_idx > {j} "
-         f"and {band_j('a.h60', j)} = {band_j('b.h60', j)})"
-         for j in range(D.SIMHASH60_BANDS - 1)] or ["true"])
+    first_band_owner = _first_band_owner(
+        D.SIMHASH60_BANDS, lambda s, j: band_j(f"{s}.h60", j))
     return spark.sql(f"""
         select a.doc_id as doc_a, b.doc_id as doc_b,
                cast(bit_count(a.h60 ^ b.h60) as int) as hamming
@@ -1174,24 +1185,46 @@ def _embed_neardup_lsh_fn(spark, sf_dir: str):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # SQL-parity edge cases, pinned to the template's semantics:
+            # a NULL embedding (or a NULL element — Arrow would lossily
+            # deliver it as NaN, so the flag is computed JVM-side where
+            # NULL and NaN are distinct) NULL-poisons every fold ->
+            # `case when NULL > 0` is false for all planes -> bucket 0.
+            # A NaN COMPONENT propagates NaN through the fold, and both
+            # Spark and DuckDB treat NaN as greater than any number, so
+            # the plane bit is SET -> the (acc > 0) test below must OR
+            # in isnan to match.
+            nullish = pdf["has_null"].to_numpy(dtype=bool)
+            clean = ~nullish
+            X = None
+            if clean.any():
+                X = np.vstack(pdf.loc[clean, "embedding"].to_numpy()) \
+                    .astype(np.float64)
             frames = []
             for t in range(_LSH_TABLES):
                 bucket = np.zeros(len(pdf), dtype=np.int32)
-                for j in range(_ANN_PLANES):
-                    acc = np.zeros(len(pdf), dtype=np.float64)
-                    for i in range(1, 65):
-                        w = float(((j + 1) * 31 + (i - 1) * 17 + t * 7)
-                                  % 13 - 6)
-                        acc = acc + w * X[:, i - 1]
-                    bucket = bucket + np.where(acc > 0, 1 << j, 0) \
-                        .astype(np.int32)
+                if X is not None:
+                    bsub = np.zeros(X.shape[0], dtype=np.int32)
+                    for j in range(_ANN_PLANES):
+                        acc = np.zeros(X.shape[0], dtype=np.float64)
+                        for i in range(1, 65):
+                            w = float(((j + 1) * 31 + (i - 1) * 17 + t * 7)
+                                      % 13 - 6)
+                            acc = acc + w * X[:, i - 1]
+                        bsub = bsub + np.where(
+                            (acc > 0) | np.isnan(acc), 1 << j, 0) \
+                            .astype(np.int32)
+                    bucket[clean] = bsub
                 frames.append(pd.DataFrame({
                     "vec_id": pdf["vec_id"], "tbl": np.int32(t),
                     "bucket": bucket}))
             yield pd.concat(frames)
 
-    b = (emb.select("vec_id", "embedding")
+    b = (emb.selectExpr(
+            "vec_id", "embedding",
+            "(embedding is null or "
+            "coalesce(exists(embedding, x -> x is null), false)) "
+            "as has_null")
          .mapInPandas(buckets, "vec_id bigint, tbl int, bucket int")
          .persist())
     b.createOrReplaceTempView("lsh_buckets")

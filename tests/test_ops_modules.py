@@ -822,3 +822,36 @@ def test_fused_ways_match_unfused_extract_bitwise(spark):
             [v for pt in ur["geom_lonlat"] for v in pt], dtype=float)
         np.testing.assert_array_equal(
             np.asarray(fr["geom_lonlat"], dtype=float), flat_unfused)
+
+
+def test_lsh_arrow_buckets_match_sql_template_on_degenerate_vectors(
+        spark, tmp_path):
+    """The embed_neardup_lsh Arrow bucket pass must reproduce the pure-SQL
+    template's buckets BIT-FOR-BIT on the degenerate inputs where numpy
+    and SQL semantics diverge by default: a NaN component (NaN > 0 is
+    TRUE in both SQL dialects, false in numpy), a NULL element
+    (NULL-poisons the SQL fold -> bucket bit 0; Arrow would lossily
+    deliver it as NaN, so the flag is computed JVM-side), and a NULL
+    embedding (whole fold NULL -> bucket 0, and np.vstack must never see
+    it)."""
+    import cqi_engine.queries.catalog as C
+
+    base = [float(i % 7 - 3) / 3.0 for i in range(64)]
+    nan_vec = list(base); nan_vec[10] = float("nan")
+    null_vec = list(base); null_vec[20] = None
+    rows = [(1, base), (2, nan_vec), (3, null_vec), (4, None)]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>") \
+        .write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    per_table = " union all ".join(
+        f"select vec_id, {t} as tbl, "
+        f"{C._lsh_table_bucket(C.SPARK, t)} as bucket from embeddings"
+        for t in range(C._LSH_TABLES))
+    want = sorted(tuple(r) for r in spark.sql(per_table).collect())
+
+    C._embed_neardup_lsh_fn(spark, sf).count()
+    got = sorted(tuple(r) for r in spark.table("lsh_buckets").collect())
+    assert want == got
