@@ -51,7 +51,16 @@ def _knn_probe(points: DataFrame, way_cells: DataFrame, k: int = 3,
 
     `cx`/`cy` are integer cell coordinates; the composite join key is
     cx*cell_mult+cy.  Exact distance refine runs vectorized per Arrow batch.
+
+    `pt_id`/`road_id` keep their INPUT types (string or integral) end to
+    end: at web scale the candidate relation is points x disk-local ways,
+    and an int64 id is ~3x narrower than the equivalent zero-padded string
+    through the probe-cell exchange, the Arrow refine crossing, and the
+    (pt, road) dedup shuffle — the same dictionary-code diet the flagship
+    spatial join applies to way ids (operators/pipeline.py).
     """
+    pt_id_t = points.schema["pt_id"].dataType
+    road_id_t = way_cells.schema["road_id"].dataType
     offsets = ring_offsets(max_ring)
     off_df = F.array(*[
         F.struct(F.lit(r).alias("ring"), F.lit(dx).alias("dx"),
@@ -70,9 +79,9 @@ def _knn_probe(points: DataFrame, way_cells: DataFrame, k: int = 3,
     cand = probes.join(idx.hint("shuffle_hash"), "probe_cell", "inner")
 
     schema = T.StructType([
-        T.StructField("pt_id", T.StringType()),
+        T.StructField("pt_id", pt_id_t),
         T.StructField("ring", T.IntegerType()),
-        T.StructField("road_id", T.StringType()),
+        T.StructField("road_id", road_id_t),
         T.StructField("dist", T.DoubleType()),
     ])
 

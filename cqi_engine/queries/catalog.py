@@ -519,13 +519,18 @@ def _knn_blocked_fn(spark, sf_dir: str):
 
     cx, cy = CUST_PT
     sx, sy = SUPP_PT
+    # ids stay bigint end to end (knn_ways preserves input id types): the
+    # window's (dist, road_id asc) tie-break is then numerically the
+    # oracle's (dist_sq, s_suppkey asc), and every exchange/Arrow crossing
+    # carries 8-byte codes instead of 12-char strings — the flagship's
+    # dictionary-code shuffle diet applied to the kNN path.
     points = cust.selectExpr(
-        "lpad(cast(c_custkey as string), 12, '0') as pt_id",
+        "cast(c_custkey as bigint) as pt_id",
         f"cast({cx} as double) as x", f"cast({cy} as double) as y",
         f"cast({cx} div {_KNN_CELL_M} as int) as cx",
         f"cast({cy} div {_KNN_CELL_M} as int) as cy")
     sites = supp.selectExpr(
-        "lpad(cast(s_suppkey as string), 12, '0') as road_id",
+        "cast(s_suppkey as bigint) as road_id",
         f"cast({sx} div {_KNN_CELL_M} as int) as cellx",
         f"cast({sy} div {_KNN_CELL_M} as int) as celly",
         f"array(array(cast({sx} as double), cast({sy} as double))) "
@@ -538,8 +543,8 @@ def _knn_blocked_fn(spark, sf_dir: str):
     dx = f"(({cx}) - ({sx}))"
     dy = f"(({cy}) - ({sy}))"
     return knn.selectExpr(
-        "cast(pt_id as bigint) as c_custkey",
-        "cast(road_id as bigint) as s_suppkey",
+        "pt_id as c_custkey",
+        "road_id as s_suppkey",
         "cast(rank as bigint) as rank",
     ).selectExpr(
         "c_custkey", "s_suppkey",
