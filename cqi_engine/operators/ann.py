@@ -45,6 +45,10 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
     spark = emb.sparkSession
     qrows = (emb.filter(F.col("vec_id") < n_queries)
              .select("vec_id", "embedding").collect())
+    if not qrows:  # no query vectors (empty corpus / snapshot): 0 rows out
+        return spark.createDataFrame([], T.StructType(
+            _TOPK_SCHEMA.fields
+            + [T.StructField("rank", T.LongType())]))
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

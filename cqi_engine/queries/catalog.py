@@ -513,9 +513,14 @@ def _knn_blocked_fn(spark, sf_dir: str):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     n_sites = supp.count()
-    lam = n_sites / float(WORLD_M) ** 2
-    radius = 2.5 * math.sqrt(5 / (math.pi * lam))
-    max_ring = max(1, int(math.ceil(radius / _KNN_CELL_M)))
+    if n_sites:
+        lam = n_sites / float(WORLD_M) ** 2
+        radius = 2.5 * math.sqrt(5 / (math.pi * lam))
+        max_ring = max(1, int(math.ceil(radius / _KNN_CELL_M)))
+    else:
+        # empty site table: density heuristic is undefined; any ring works
+        # (knn_ways' extent cap proves exhaustion immediately)
+        max_ring = 1
 
     cx, cy = CUST_PT
     sx, sy = SUPP_PT
