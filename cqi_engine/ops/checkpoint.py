@@ -11,8 +11,9 @@ Iceberg models them — an atomic manifest over immutable data files:
 
 ``run_partitioned`` processes logical partitions independently; a rerun
 reads ``_lineage`` and skips every partition already committed, so a job
-killed at partition k resumes at k (verified by tests/test_checkpoint.py:
-kill-after-snapshot -> rerun -> identical final table, no duplicates).
+killed at partition k resumes at k (verified by
+tests/test_ops_modules.py::test_checkpoint_resume: kill-after-snapshot ->
+rerun -> identical final table, no duplicates).
 Swapping this for real Iceberg means replacing the manifest writes with
 ``spark.table(...).writeTo(...).append()`` inside one transaction — the
 partition/lineage discipline is unchanged.

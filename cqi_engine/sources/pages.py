@@ -6,7 +6,7 @@ Synthesis is fully deterministic (seeded SHA-256 derivations, no RNG state):
 each OSM way is embedded into exactly one page's ``text`` inside a plain-text
 envelope; extraction parses the envelope back into the way table.  The
 ``text`` bytes round-trip byte-identically per url (BASELINE per-row
-invariant), verified by tests/test_pages.py.
+invariant), verified by tests/test_spark_pipeline.py::test_text_byte_identity.
 
 At benchmark scale the fixture ways are replicated with deterministic
 coordinate offsets and fresh ids — same shape, arbitrary row count.
