@@ -115,6 +115,22 @@ def test_knn_verifier_reprobes_skewed_density(spark):
         assert [rid for _rk, rid in sorted(by_pt[p])] == truth[p], p
 
 
+def test_knn_empty_site_table_yields_no_rows(spark):
+    """Non-empty query points against a 0-row way index: the verifier
+    flags every point (no candidates), the lazy ring cap reads an empty
+    extent, and the loop must conclude 'disk covers everything' and
+    return 0 rows instead of re-probing forever or crashing."""
+    from cqi_engine.operators.knn import knn_ways
+
+    idx = spark.createDataFrame(
+        [], "road_id string, cellx int, celly int, "
+            "road_geom array<array<double>>")
+    pts = spark.createDataFrame(
+        [("p1", 50.0, 50.0, 0, 0), ("p2", 150.0, 250.0, 1, 2)],
+        "pt_id string, x double, y double, cx int, cy int")
+    assert knn_ways(pts, idx, k=3, max_ring=1, cell_size=100.0).count() == 0
+
+
 # ----------------------------------------------------------- streaming ----
 def test_streaming_scoring_sink(spark, tmp_path):
     from cqi_engine.io import read_geojson_lines
