@@ -28,6 +28,20 @@ _TOPK_SCHEMA = T.StructType([
 ])
 
 
+def _mat_with_nan_rows(embs: list, dim: int | None) -> np.ndarray:
+    """Stack embeddings into an (n, dim) float64 matrix; rows that are
+    NULL (or of a foreign dimension) become all-NaN instead of crashing
+    np.array with an inhomogeneous-shape error — at 100 TB a null
+    embedding is data, not an exception."""
+    if dim is None:
+        dim = 1
+    out = np.full((len(embs), dim), np.nan)
+    for i, e in enumerate(embs):
+        if e is not None and len(e) == dim:
+            out[i] = np.asarray(e, dtype=np.float64)
+    return out
+
+
 def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
                      slack: int = 3) -> DataFrame:
     """Exact top-k by cosine, computed the scale-path way.
@@ -50,8 +64,17 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
             _TOPK_SCHEMA.fields
             + [T.StructField("rank", T.LongType())]))
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    # degenerate rows (NULL embedding, zero norm) carry NaN through the
+    # matmul: NaN similarities sort LAST in the per-batch selection (and
+    # in cand-id order among themselves — lexsort is a chain of stable
+    # sorts), mirroring the exact re-rank where their cosine is SQL NULL
+    # (nullif denominator) and desc ranks NULLS LAST.  They still fill
+    # top-k slots when a query has fewer than k finite neighbors, exactly
+    # like the all-pairs oracle.
+    q_dim = next((len(r["embedding"]) for r in qrows
+                  if r["embedding"] is not None), None)
+    q_mat = _mat_with_nan_rows([r["embedding"] for r in qrows], q_dim)
+    q_norm = np.linalg.norm(q_mat, axis=1) if q_dim else None
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, k + slack))
 
     def probe(batches):
@@ -60,9 +83,15 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
             if not len(pdf):
                 continue
             cand_ids = pdf["vec_id"].to_numpy(np.int64)
-            cand = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = (mat @ cand.T) / (normq[:, None]
-                                     * np.linalg.norm(cand, axis=1)[None, :])
+            if normq is None:  # every query degenerate: all-NaN sims
+                sims = np.full((len(ids), len(pdf)), np.nan)
+            else:
+                cand = _mat_with_nan_rows(list(pdf["embedding"]),
+                                          mat.shape[1])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = ((mat @ cand.T)
+                            / (normq[:, None]
+                               * np.linalg.norm(cand, axis=1)[None, :]))
             sims = np.round(sims, 6)
             out = {"query_id": [], "cand_id": [], "cosine": []}
             for qi, qid in enumerate(ids):
@@ -84,7 +113,10 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
            "(acc, v) -> acc + v)")
     nrm = ("sqrt(aggregate(transform({0}.embedding, x -> cast(x as double) "
            "* cast(x as double)), cast(0 as double), (acc, v) -> acc + v))")
-    cos = f"({dot} / ({nrm.format('q')} * {nrm.format('c')}))"
+    # nullif: zero-norm/NULL embeddings have undefined cosine -> SQL NULL
+    # (ANSI-safe), ranked last by the desc window — same pinned semantics
+    # as the catalog's _cos template
+    cos = f"({dot} / nullif(({nrm.format('q')} * {nrm.format('c')}), 0))"
     q = emb.alias("q")
     c = emb.alias("c")
     scored = (cand
@@ -161,7 +193,12 @@ def neardup_candidates_blocked(emb: DataFrame, threshold: float,
     matmul vs sequential fold differ by ~1e-15 relative); callers re-verify
     with the exact expression and the final ``>= threshold`` filter.
     """
-    emb2 = emb.withColumn("blk", (F.col("vec_id") / block).cast("long"))
+    # NULL embeddings can never qualify (their cosine is NULL in the
+    # verify) and would crash the np.array pack — drop them JVM-side.
+    # Zero-norm vectors stay: the GEMM yields NaN for them, NaN fails the
+    # >= cut, and the SQL verify agrees (NULL via the nullif denominator).
+    emb2 = (emb.filter(F.col("embedding").isNotNull())
+            .withColumn("blk", (F.col("vec_id") / block).cast("long")))
     packed = emb2.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("items"))
 
@@ -180,8 +217,9 @@ def neardup_candidates_blocked(emb: DataFrame, threshold: float,
                 idb = np.array([r["vec_id"] for r in items_b], dtype=np.int64)
                 mb = np.array([r["embedding"] for r in items_b],
                               dtype=np.float64)
-                sims = (ma @ mb.T) / (np.linalg.norm(ma, axis=1)[:, None]
-                                      * np.linalg.norm(mb, axis=1)[None, :])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = (ma @ mb.T) / (np.linalg.norm(ma, axis=1)[:, None]
+                                          * np.linalg.norm(mb, axis=1)[None, :])
                 ii, jj = np.nonzero((sims >= cut)
                                     & (ida[:, None] < idb[None, :]))
                 yield pd.DataFrame({"vec_a": ida[ii], "vec_b": idb[jj]})

@@ -1078,9 +1078,24 @@ def _norm(d: str, a: str) -> str:
             f"cast(x as double) * cast(x as double)), 'sum'))")
 
 
+def _cos(d: str, a: str, b: str) -> str:
+    """Cosine with pinned degenerate semantics in BOTH dialects: a
+    zero-norm or NULL embedding has an UNDEFINED cosine -> SQL NULL via
+    nullif on the denominator.  Without it the dialects diverge exactly
+    where real 100 TB corpora are dirty: Spark 4 runs ANSI mode, so 0/0
+    is a DIVIDE_BY_ZERO *error*, while DuckDB returns NULL-or-NaN
+    depending on which operand is degenerate (and NaN sorts FIRST in a
+    desc window, silently outranking every real neighbor).  With NULL,
+    near-dup thresholds drop such pairs (NULL >= t is false) and top-k
+    windows rank them last (desc is NULLS LAST in both dialects) —
+    verified against the all-pairs oracles on a degenerate corpus in
+    tests/test_embedding_degenerate.py."""
+    return (f"({_dot64(d, a, b)} / "
+            f"nullif(({_norm(d, a)} * {_norm(d, b)}), 0))")
+
+
 def _embed_neardup(d: str) -> str:
-    cos = (f"({_dot64(d, 'a.embedding', 'b.embedding')} / "
-           f"({_norm(d, 'a.embedding')} * {_norm(d, 'b.embedding')}))")
+    cos = _cos(d, 'a.embedding', 'b.embedding')
     return f"""
 select a.vec_id as vec_a, b.vec_id as vec_b,
        cast(round({cos}, 6) as double) as cosine
@@ -1101,8 +1116,7 @@ def _embed_neardup_fn(spark, sf_dir: str):
     from ..operators.ann import neardup_candidates_blocked
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cand = neardup_candidates_blocked(emb, _NEARDUP_THRESHOLD)
-    cos = (f"({_dot64(SPARK, 'a.embedding', 'b.embedding')} / "
-           f"({_norm(SPARK, 'a.embedding')} * {_norm(SPARK, 'b.embedding')}))")
+    cos = _cos(SPARK, 'a.embedding', 'b.embedding')
     # shuffle_hash: the verify join must not broadcast the embedding
     # corpus (unbounded at scale) — hash-exchange both sides on vec_id
     a = emb.alias("a").hint("shuffle_hash")
@@ -1150,8 +1164,7 @@ def _lsh_table_bucket(d: str, t: int, col: str = "embedding") -> str:
 
 
 def _embed_neardup_lsh(d: str) -> str:
-    cos = (f"({_dot64(d, 'ea.embedding', 'eb.embedding')} / "
-           f"({_norm(d, 'ea.embedding')} * {_norm(d, 'eb.embedding')}))")
+    cos = _cos(d, 'ea.embedding', 'eb.embedding')
     per_table = " union all ".join(
         f"select vec_id, {t} as tbl, {_lsh_table_bucket(d, t)} as bucket "
         f"from embeddings" for t in range(_LSH_TABLES))
@@ -1240,8 +1253,7 @@ def _embed_neardup_lsh_fn(spark, sf_dir: str):
     b.createOrReplaceTempView("lsh_buckets")
 
     d = SPARK
-    cos = (f"({_dot64(d, 'ea.embedding', 'eb.embedding')} / "
-           f"({_norm(d, 'ea.embedding')} * {_norm(d, 'eb.embedding')}))")
+    cos = _cos(d, 'ea.embedding', 'eb.embedding')
     return spark.sql(f"""
         with cand as (
           select distinct a.vec_id as vec_a, b.vec_id as vec_b
@@ -1275,10 +1287,8 @@ def _embed_neardup_ivf(d: str) -> str:
     # sharing a coarse-centroid inverted list, exact-verified.  Same
     # recall-bounded-by-design semantics as the LSH variant — probing one
     # list trades recall for a corpus-fraction candidate volume.
-    cos = (f"({_dot64(d, 'e.embedding', 'c.embedding')} / "
-           f"({_norm(d, 'e.embedding')} * {_norm(d, 'c.embedding')}))")
-    pcos = (f"({_dot64(d, 'ea.embedding', 'eb.embedding')} / "
-            f"({_norm(d, 'ea.embedding')} * {_norm(d, 'eb.embedding')}))")
+    cos = _cos(d, 'e.embedding', 'c.embedding')
+    pcos = _cos(d, 'ea.embedding', 'eb.embedding')
     return f"""
 with assign as (
   select e_vec_id as vec_id, centroid
@@ -1309,8 +1319,7 @@ _sql_pair("embed_neardup_ivf", ("embeddings",), _embed_neardup_ivf,
 
 
 def _ann_topk(d: str) -> str:
-    cos = (f"({_dot64(d, 'q.embedding', 'c.embedding')} / "
-           f"({_norm(d, 'q.embedding')} * {_norm(d, 'c.embedding')}))")
+    cos = _cos(d, 'q.embedding', 'c.embedding')
     return f"""
 select query_id, cand_id, cosine, cast(rn as bigint) as rank
 from (
@@ -1704,10 +1713,8 @@ def _ann_ivf_topk(d: str) -> str:
     # vector assigned to its nearest centroid (exact integer-free cosine
     # argmax), then top-3 search restricted to the query's own cell — the
     # inverted-file scale path (probe 1 list instead of the whole corpus).
-    cos = (f"({_dot64(d, 'e.embedding', 'c.embedding')} / "
-           f"({_norm(d, 'e.embedding')} * {_norm(d, 'c.embedding')}))")
-    qcos = (f"({_dot64(d, 'q.embedding', 'x.embedding')} / "
-            f"({_norm(d, 'q.embedding')} * {_norm(d, 'x.embedding')}))")
+    cos = _cos(d, 'e.embedding', 'c.embedding')
+    qcos = _cos(d, 'q.embedding', 'x.embedding')
     return f"""
 with assign as (
   select e_vec_id as vec_id, centroid
