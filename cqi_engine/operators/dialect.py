@@ -120,10 +120,17 @@ def polyhash(tok: str, dialect: str) -> str:
     Plays the role the reference's surface-ranking lookup tables play
     (definitions.py:117-129): a portable, engine-agnostic scalar key.
     """
+    # the char-position lambda variable is `ci`, NOT `i`: callers pass tok
+    # expressions that may themselves live inside an `i ->` lambda (the
+    # fingerprint template's token index), and a shared name is CAPTURED
+    # by this inner lambda in both dialects — the generated SQL then
+    # indexes the token array by char position, which under Spark's ANSI
+    # mode is an out-of-bounds ERROR whenever a token is longer than the
+    # doc's token count (found by the degenerate-corpus sweep).
     n = f"least(length({tok}), 8)" if dialect == SPARK else f"least(len({tok}), 8)"
-    body = (f"ascii(substr({tok}, i, 1)) * "
-            + at(arr_lit(POW31, dialect), "i", dialect))
-    return lsum(lmap(seq1(n, dialect), f"i -> {body}", dialect), dialect)
+    body = (f"ascii(substr({tok}, ci, 1)) * "
+            + at(arr_lit(POW31, dialect), "ci", dialect))
+    return lsum(lmap(seq1(n, dialect), f"ci -> {body}", dialect), dialect)
 
 
 def token_hashes(col: str, dialect: str) -> str:

@@ -63,6 +63,12 @@ def decode_media_features(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no media: all metadata NULL
+                    rows.append({"doc_id": int(doc_id), "n_bytes": None,
+                                 "media_type": None, "width": None,
+                                 "height": None, "n_frames": None,
+                                 "feature": None})
+                    continue
                 payload = bytes(payload)
                 rec = _decode_payload(payload)
                 rows.append({"doc_id": int(doc_id),
@@ -100,6 +106,11 @@ def resize_media(docs: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no media: nothing to resample
+                    rows.append({"doc_id": int(doc_id), "media_type": None,
+                                 "width": width, "height": height,
+                                 "payload": None})
+                    continue
                 payload = bytes(payload)
                 meta = _decode_payload(payload)
                 if HAVE_REAL_CODECS:  # pragma: no cover
@@ -145,6 +156,8 @@ def sample_frames(docs: DataFrame, every_k: int = 24) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # no media: no frames to sample
+                    continue
                 payload = bytes(payload)
                 meta = _decode_payload(payload)
                 if meta["media_type"] != "video/mp4":

@@ -611,7 +611,11 @@ _sql_pair("raster_tiles", ("customer",), _raster_tiles,
 # ===========================================================================
 
 def _dedup_exact(d: str) -> str:
-    # exact dedup on a normalized content key (first-2-token prefix -> md5)
+    # exact dedup on a normalized content key (first-2-token prefix -> md5).
+    # nullif pins the degenerate case identically in both dialects: a doc
+    # with NULL text or no tokens has NO dedup key (Spark would otherwise
+    # key every empty/whitespace doc on md5('') while DuckDB's chain nulls
+    # out and lumps NULL text in with them) — keyless docs are excluded.
     toks = D.split_ws("text", d)
     head = (f"array_join(slice({toks}, 1, 2), ' ')" if d == SPARK
             else f"array_to_string(list_slice({toks}, 1, 2), ' ')")
@@ -619,10 +623,10 @@ def _dedup_exact(d: str) -> str:
 select key_hash, cast(dup_cnt as bigint) as dup_cnt,
        cast(keep_doc as bigint) as keep_doc
 from (
-  select md5({head}) as key_hash, count(*) as dup_cnt,
+  select md5(nullif({head}, '')) as key_hash, count(*) as dup_cnt,
          min(doc_id) as keep_doc
-  from documents group by md5({head})
-) t where dup_cnt > 1
+  from documents group by md5(nullif({head}, ''))
+) t where dup_cnt > 1 and key_hash is not null
 """
 
 
@@ -1674,7 +1678,8 @@ select doc_id,
        cast(64 + (({byte(2)}) % 64) * 16 as bigint) as height,
        cast({nf} as bigint) as n_frames,
        {feats},
-       cast(48 as bigint) as resized_n_bytes,
+       cast(case when text is not null then 48 end as bigint)
+         as resized_n_bytes,
        (rh || substr(rh, 1, 32)) as resized_hex,
        cast(case when {is_video} then {m} else 0 end as bigint) as n_sampled,
        cast(case when {is_video} then {sum_idx} else 0 end
