@@ -1956,16 +1956,30 @@ _sql_pair("rule_surface_factor", ("part",), _rule_surface_factor,
 def _props_extract(d: str) -> str:
     # semi-structured JSON property extraction over the event stream
     # (webtext metadata parsing; Spark get_json_object == DuckDB
-    # json_extract_string, verified)
+    # json_extract_string, verified).  json_valid guard: web-scale props
+    # strings are dirty, and the dialects disagree on malformed JSON —
+    # Spark's get_json_object silently yields NULL, DuckDB's
+    # json_extract_string raises Malformed JSON.  Pinned: malformed -> NULL.
     fn = ("get_json_object(props, '$.k')" if d == SPARK
-          else "json_extract_string(props, '$.k')")
+          else "case when json_valid(props) then "
+               "json_extract_string(props, '$.k') end")
+    # integral-string guard instead of a bare try_cast: the dialects
+    # disagree on non-integral numeric strings ('3.5' -> NULL in Spark,
+    # ROUNDED to 4 by DuckDB's string->bigint cast).  Pinned: k counts as
+    # an integer property only when it prints as one.
+    is_int = ("regexp_like(v, '^-?[0-9]+$')" if d == SPARK
+              else "regexp_matches(v, '^-?[0-9]+$')")
     return f"""
 select event_type,
        cast(count(*) as bigint) as n,
-       cast(sum(try_cast({fn} as bigint)) as bigint) as sum_k,
-       cast(min(try_cast({fn} as bigint)) as bigint) as min_k,
-       cast(max(try_cast({fn} as bigint)) as bigint) as max_k
-from events group by event_type
+       cast(sum(k) as bigint) as sum_k,
+       cast(min(k) as bigint) as min_k,
+       cast(max(k) as bigint) as max_k
+from (
+  select event_type,
+         case when {is_int} then cast(v as bigint) end as k
+  from (select event_type, {fn} as v from events) raw
+) t group by event_type
 """
 
 

@@ -17,7 +17,8 @@ import pytest
 from cqi_engine.queries.catalog import CATALOG, run_query
 
 QUERIES = ["events_hourly", "events_sessionize", "events_majority",
-           "events_mode", "events_argmax_rank", "events_percentiles"]
+           "events_mode", "events_argmax_rank", "events_percentiles",
+           "props_extract"]
 
 
 def _ts(minutes):
@@ -35,6 +36,16 @@ ROWS = [
     (7, _ts(3), 2, "buy", 7.0, '{}'),          # ... across types
     (8, _ts(90), 2, "view", 8.0, '{}'),        # gap -> new session
     (9, _ts(91), 3, "buy", 9.0, '{}'),
+    # dirty props for props_extract: Spark's get_json_object NULLs
+    # malformed JSON where DuckDB's json_extract_string raises, and
+    # DuckDB's string->bigint cast ROUNDS '3.5' where Spark NULLs it —
+    # both pinned in the template (json_valid guard + integral regexp)
+    (10, _ts(92), 3, "buy", 1.0, 'not json at all'),
+    (11, _ts(93), 3, "buy", 1.0, '{broken'),
+    (12, _ts(94), 3, "buy", 1.0, '{"k": 3.5}'),
+    (13, _ts(95), 3, "buy", 1.0, '{"k": "12"}'),
+    (14, _ts(96), 3, "buy", 1.0, '{"k": null}'),
+    (15, _ts(97), 3, "buy", 1.0, '[]'),
 ]
 
 
