@@ -56,9 +56,17 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
         n, vsum = 0, 0.0
 
     closed = []
+    seen_any = False
     for pdf in pdf_iter:
         pdf = pdf.sort_values("ms_ts")
         for ms, val in zip(pdf["ms_ts"], pdf["value"]):
+            if pd.isna(ms):
+                # NULL event time: the row has no position on the session
+                # timeline (the watermark would eventually drop it anyway;
+                # Spark still delivers it in the batch it arrives in) —
+                # skip it instead of crashing int(NaN)
+                continue
+            seen_any = True
             ms = int(ms)
             if last_ms is not None and ms - last_ms > GAP_MS:
                 closed.append({
@@ -71,7 +79,15 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
                 start_ms = ms
             last_ms = ms
             n += 1
-            vsum += float(val)
+            if not pd.isna(val):  # SQL SUM semantics: NULLs don't poison
+                vsum += float(val)
+
+    if last_ms is None:
+        # every row in this batch had NULL event time and no prior state:
+        # nothing to hold, no timeout to arm (a timestamp is mandatory
+        # for EventTimeTimeout state)
+        assert not seen_any
+        return
 
     state.update((start_ms, last_ms, n, vsum))
     # replayed/late batches: the watermark may already be past the natural

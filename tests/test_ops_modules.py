@@ -201,6 +201,47 @@ def test_checkpoint_resume(spark, tmp_path):
 
 
 # ------------------------------------------------------ stateful stream ----
+def test_stateful_sessionize_survives_dirty_events(spark, tmp_path):
+    """NULL event times reach the stateful operator in the batch they
+    arrive in (the watermark only drops them later) and used to crash
+    int(NaN); NULL values used to NaN-poison the session sum.  Pinned:
+    a NULL-ts row has no place on the session timeline and is skipped, a
+    NULL value counts toward n_events but not value_sum (SQL SUM
+    semantics), and a NULL user_id is an ordinary group key."""
+    import datetime
+
+    from cqi_engine.streaming.stateful import sessionize_stream
+
+    ts = (lambda m: datetime.datetime(2026, 1, 1)
+          + datetime.timedelta(minutes=m))
+    rows = [
+        (0, ts(0), 1, "a", 1.0, None),
+        (1, ts(1), 1, "a", None, None),     # NULL value
+        (2, None, 1, "a", 2.0, None),       # NULL event time
+        (3, ts(2), None, "a", 3.0, None),   # NULL user_id
+        (4, ts(120), 1, "a", 4.0, None),    # gap closes user 1's session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "dirty_in")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (sessionize_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("dirty_sessions")
+         .option("checkpointLocation", str(tmp_path / "dirty_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = [tuple(r) for r in spark.table("dirty_sessions").collect()]
+    # the one gap-closed session: user 1, events at minutes 0 and 1, the
+    # NULL value skipped in the sum, the NULL-ts row skipped entirely
+    assert got == [(1, 1767225600000, 1767225660000, 2, 1.0)]
+
+
 def test_stateful_sessionize_stream(spark, tmp_path):
     """applyInPandasWithState sessionization over a replayed events stream:
     closed sessions must match the batch sessionizer's session count."""
