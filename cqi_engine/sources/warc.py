@@ -64,10 +64,22 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 for line in head.split("\r\n")[1:]:
                     k, _, v = line.partition(": ")
                     fields[k] = v
-                ts = pd.Timestamp(fields.get("WARC-Date"))
+                if not fields.get("WARC-Target-URI"):
+                    # no URI, no identity: url is the pages table's
+                    # non-null key (PAGES_SCHEMA / per-row invariant) —
+                    # a keyless record is dropped, not emitted as NULL
+                    continue
+                # real crawls carry corrupt records; a malformed date
+                # must quarantine THIS record's timestamp (NULL), not
+                # kill the scan task for the whole byte range
+                try:
+                    ts = pd.Timestamp(fields.get("WARC-Date"))
+                    ts = None if pd.isna(ts) else ts.to_pydatetime()
+                except (ValueError, TypeError):
+                    ts = None
                 rows.append({
                     "url": fields.get("WARC-Target-URI"),
-                    "warc_ts": ts.to_pydatetime(),
+                    "warc_ts": ts,
                     "html": payload.encode("utf-8"),
                     "text": payload,
                     "lang": fields.get("X-Crawler-Language"),

@@ -751,6 +751,39 @@ def test_warc_roundtrip_and_score(spark, tmp_path):
     assert score_pages(pages).count() == 164
 
 
+def test_warc_scan_quarantines_corrupt_records(spark, tmp_path):
+    """Real crawls carry corrupt records: a malformed WARC-Date used to
+    raise DateParseError inside the scan and kill the task for the whole
+    byte range.  Pinned: garbage between delimiters is dropped, a record
+    with a corrupt date survives with a NULL warc_ts, a record with no
+    Target-URI is dropped (url is the pages table's non-null key), and
+    well-formed records are untouched."""
+    from cqi_engine.sources.warc import _DELIM, read_warc
+
+    good = ("WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            "WARC-Target-URI: http://ok.example/1\r\n"
+            "WARC-Date: 2026-01-01T00:00:00\r\n"
+            "X-Crawler-Language: en\r\n"
+            "\r\npayload ok")
+    bad_date = ("WARC/1.0\r\n"
+                "WARC-Target-URI: http://baddate.example/2\r\n"
+                "WARC-Date: not-a-date\r\n"
+                "\r\npayload bad date")
+    headerless = "WARC/1.0\r\n\r\norphan payload"
+    garbage = "!!! random bytes, no warc marker !!!"
+    path = str(tmp_path / "dirty.warc")
+    with open(path, "w", encoding="utf-8", newline="") as fh:
+        fh.write(_DELIM.join([good, garbage, bad_date, headerless]))
+
+    rows = {r["url"]: r for r in read_warc(spark, path).collect()}
+    assert len(rows) == 2  # garbage and the keyless record dropped
+    assert rows["http://ok.example/1"]["text"] == "payload ok"
+    assert rows["http://ok.example/1"]["warc_ts"] is not None
+    assert rows["http://baddate.example/2"]["warc_ts"] is None
+    assert rows["http://baddate.example/2"]["text"] == "payload bad date"
+
+
 # ------------------------------------------------- multi-file merge (S2) ----
 def test_merge_way_files_dedupes_geometries(spark, tmp_path):
     """S2: merge N way files, drop duplicate geometries
