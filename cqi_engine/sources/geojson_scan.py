@@ -39,7 +39,16 @@ def read_geojsonl(spark: SparkSession, path: str,
     raw = spark.read.text(path)
     feats = raw.select(
         F.from_json(F.col("value"), _FEATURE_SCHEMA).alias("f"))
-    lines = feats.filter(F.col("f.geometry.type") == "LineString")
+    # from_json is permissive (malformed lines parse to NULL and fall out
+    # of the type filter); geometry VALIDITY needs its own guard — a
+    # claimed LineString with missing coordinates or a single position is
+    # invalid per the GeoJSON spec, and the reference's OGR loader never
+    # yields such features, so the scan drops them rather than handing
+    # the geometry kernels a NULL/degenerate vertex list.
+    lines = feats.filter(
+        (F.col("f.geometry.type") == "LineString")
+        & F.col("f.geometry.coordinates").isNotNull()
+        & (F.size("f.geometry.coordinates") >= 2))
     cols = [F.col("f.properties").getItem(c).alias(c) for c in tag_columns]
     return lines.select(*cols,
                         F.col("f.geometry.coordinates").alias("geom_lonlat"))

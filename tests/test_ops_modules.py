@@ -784,6 +784,35 @@ def test_warc_scan_quarantines_corrupt_records(spark, tmp_path):
     assert rows["http://baddate.example/2"]["text"] == "payload bad date"
 
 
+def test_geojsonl_scan_drops_invalid_linestrings(spark, tmp_path):
+    """S1 validity parity with the reference's OGR loader: malformed JSON
+    lines, non-LineString geometries, NULL coordinate arrays, and
+    single-position LineStrings (invalid per the GeoJSON spec) are all
+    dropped by the scan — the geometry kernels never see a degenerate
+    vertex list."""
+    from cqi_engine.sources.geojson_scan import read_geojsonl
+
+    lines = [
+        '{"type":"Feature","properties":{"highway":"path"},"geometry":'
+        '{"type":"LineString","coordinates":[[13.1,52.1],[13.2,52.2]]}}',
+        'NOT JSON',
+        '{"type":"Feature","properties":{},"geometry":'
+        '{"type":"Polygon","coordinates":[[[1,2],[3,4]]]}}',
+        '{"type":"Feature","properties":{"highway":"x"},"geometry":'
+        '{"type":"LineString","coordinates":null}}',
+        '{"type":"Feature","properties":{"highway":"y"},"geometry":'
+        '{"type":"LineString","coordinates":[[13.0,52.0]]}}',
+        '{"type":"Feature","properties":{"highway":"z"},"geometry":'
+        '{"type":"LineString"}}',
+    ]
+    p = str(tmp_path / "dirty.geojsonl")
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+    out = read_geojsonl(spark, p, ["highway"]).collect()
+    assert [(r["highway"], r["geom_lonlat"]) for r in out] == \
+        [("path", [[13.1, 52.1], [13.2, 52.2]])]
+
+
 # ------------------------------------------------- multi-file merge (S2) ----
 def test_merge_way_files_dedupes_geometries(spark, tmp_path):
     """S2: merge N way files, drop duplicate geometries
