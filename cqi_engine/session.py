@@ -41,6 +41,13 @@ def build_session(app_name: str = "cqi-engine", master: str | None = None,
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # zstd halves the flagship's shuffle volume vs the lz4 default
+        # (58.4 -> 32.5 MB at R=40, alternating A/B, min-of-2 wall equal
+        # at 12.4 s, executor CPU +5%) — on a real cluster shuffle bytes
+        # cross the network, so the byte diet is the scale win.  Startup-
+        # static conf: only effective on sessions this builder creates.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "zstd"))
         # UI off by default (test noise); the work-invariance protocol
         # enables it to scrape per-stage byte metrics from /api/v1
         .config("spark.ui.enabled",

@@ -13,6 +13,7 @@ Usage: python scripts/check_oracles.py [query ...]   (default: all)
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 
 import duckdb
@@ -20,7 +21,9 @@ import numpy as np
 import pandas as pd
 
 REPO = "/root/repo"
-SF_DIR = "/root/testdata/sf0.01"
+# the driver grades at sf0.01; pointing this at sf0.1 re-proves every
+# oracle at 10x the graded scale (scale-consistency of correctness)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
