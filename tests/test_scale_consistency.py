@@ -92,3 +92,45 @@ def test_scale_paths_identical_across_parallelism(tmp_path):
     for name in a:
         assert a[name] == b[name], f"{name} differs across parallelism"
         assert len(a[name]) > 0, f"{name} returned no rows"
+
+
+_SF01_RUNNER = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from cqi_engine.session import build_session, ship_package
+from cqi_engine.sources.webways import (ways_from_documents,
+                                        flagship_full_expected,
+                                        digest_rows_pdf)
+from cqi_engine.operators.pipeline import score_way_table
+
+out = sys.argv[1]
+spark = build_session("sf01-parity", master="local[8]")
+spark.sparkContext.setLogLevel("ERROR")
+ship_package(spark)
+docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+got = digest_rows_pdf(score_way_table(ways_from_documents(docs)).toPandas())
+exp = flagship_full_expected("/root/testdata/sf0.1")
+cols = list(exp.columns)
+g = got[cols].sort_values(cols).reset_index(drop=True)
+e = exp.sort_values(cols).reset_index(drop=True)
+json.dump({"rows": len(g), "equal": bool(g.equals(e))}, open(out, "w"))
+spark.stop()
+"""
+
+
+def test_flagship_digest_parity_at_sf01(tmp_path):
+    """Correctness at 10x the graded scale: the Spark flagship pipeline
+    over the sf0.1 corpus (5,926 way rows from 5,000 documents) must
+    match the golden-verified pandas reference path bit-for-bit on the
+    per-row sha256 digest of all 38 output columns.  The driver grades
+    the fixture oracle at sf0.01 (590 rows); this pins the same parity
+    one scale decade up, where partitioning/salting paths actually fan
+    out (64 shuffle partitions over ~25k pages)."""
+    out = str(tmp_path / "sf01.json")
+    subprocess.run([sys.executable, "-c", _SF01_RUNNER, out],
+                   check=True, timeout=600,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out, encoding="utf-8") as fh:
+        res = json.load(fh)
+    assert res["rows"] == 5926
+    assert res["equal"], "sf0.1 Spark output diverges from pandas reference"
