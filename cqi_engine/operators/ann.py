@@ -28,6 +28,21 @@ _TOPK_SCHEMA = T.StructType([
 ])
 
 
+def _majority_dim(lengths) -> int | None:
+    """The corpus dimension = the MODE of the positive embedding lengths
+    (ties break toward the smaller dim, deterministically).  Inferring it
+    from the first non-null row instead would let a single truncated or
+    empty leading row silently poison every query in the batch — at
+    100 TB the first row of a scan is an arbitrary row."""
+    counts: dict[int, int] = {}
+    for n in lengths:
+        if n:
+            counts[n] = counts.get(n, 0) + 1
+    if not counts:
+        return None
+    return max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+
+
 def _mat_with_nan_rows(embs: list, dim: int | None) -> np.ndarray:
     """Stack embeddings into an (n, dim) float64 matrix; rows that are
     NULL (or of a foreign dimension) become all-NaN instead of crashing
@@ -71,11 +86,19 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
     # (nullif denominator) and desc ranks NULLS LAST.  They still fill
     # top-k slots when a query has fewer than k finite neighbors, exactly
     # like the all-pairs oracle.
-    q_dim = next((len(r["embedding"]) for r in qrows
-                  if r["embedding"] is not None), None)
+    q_dim = _majority_dim(len(r["embedding"]) for r in qrows
+                          if r["embedding"] is not None)
     q_mat = _mat_with_nan_rows([r["embedding"] for r in qrows], q_dim)
     q_norm = np.linalg.norm(q_mat, axis=1) if q_dim else None
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm, k + slack))
+    # queries whose length differs from the corpus dim probe as all-NaN
+    # rows (every majority-dim cosine is NULL in the fold — correct), but
+    # they CAN have real cosines against same-length rows; those pairs
+    # are few (dirty data), so feed them to the exact re-rank directly
+    # via a size-equality join instead of the GEMM.
+    odd_sizes = sorted({len(r["embedding"]) for r in qrows
+                        if r["embedding"] is not None
+                        and 0 < len(r["embedding"]) != q_dim})
 
     def probe(batches):
         ids, mat, normq, kk = bc.value
@@ -106,6 +129,20 @@ def ann_topk_blocked(emb: DataFrame, n_queries: int = 32, k: int = 5,
 
     cand = (emb.select("vec_id", "embedding").mapInPandas(probe, _TOPK_SCHEMA)
             .select("query_id", "cand_id"))
+    if odd_sizes:
+        dq = (emb.filter((F.col("vec_id") < n_queries)
+                         & F.size("embedding").isin(odd_sizes))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.size("embedding").alias("qs")))
+        extra = (dq.join(emb.select(F.col("vec_id").alias("cand_id"),
+                                    F.size("embedding").alias("cs")),
+                         F.col("qs") == F.col("cs"))
+                 .filter("query_id != cand_id")
+                 .select("query_id", "cand_id"))
+        # distinct: a same-size candidate may also appear in the probe's
+        # NaN fill for the same query; a duplicate would occupy two
+        # row_number slots in the re-rank
+        cand = cand.union(extra).distinct()
 
     # exact re-score of the merged candidates with the oracle's own fold
     dot = ("aggregate(zip_with(q.embedding, c.embedding, (x, y) -> "
@@ -197,7 +234,18 @@ def neardup_candidates_blocked(emb: DataFrame, threshold: float,
     # verify) and would crash the np.array pack — drop them JVM-side.
     # Zero-norm vectors stay: the GEMM yields NaN for them, NaN fails the
     # >= cut, and the SQL verify agrees (NULL via the nullif denominator).
+    # Foreign-dimension rows (truncated/dirty) would ALSO crash the pack
+    # (inhomogeneous np.array): the GEMM packs only the majority dim;
+    # odd-size rows can still pair with SAME-size rows (real cosine in
+    # the zip_with fold), so the few of them go through an exact
+    # size-equality join below instead.
+    dim_rows = (emb.filter(F.col("embedding").isNotNull())
+                .groupBy(F.size("embedding").alias("d")).count()
+                .filter("d > 0").collect())
+    main_dim = (max(dim_rows, key=lambda r: (r["count"], -r["d"]))["d"]
+                if dim_rows else None)
     emb2 = (emb.filter(F.col("embedding").isNotNull())
+            .filter(F.size("embedding") == F.lit(main_dim or -1))
             .withColumn("blk", (F.col("vec_id") / block).cast("long")))
     packed = emb2.groupBy("blk").agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("items"))
@@ -224,4 +272,29 @@ def neardup_candidates_blocked(emb: DataFrame, threshold: float,
                                     & (ida[:, None] < idb[None, :]))
                 yield pd.DataFrame({"vec_a": ida[ii], "vec_b": idb[jj]})
 
-    return tiles.select("items_a", "items_b").mapInPandas(gemm, _PAIR_SCHEMA)
+    cand = tiles.select("items_a", "items_b").mapInPandas(gemm, _PAIR_SCHEMA)
+
+    # odd-size rows (size > 0, != main_dim): exact pair join among rows
+    # of EQUAL size — a dirty sliver at scale, so the equi-join on size
+    # is tiny; callers re-verify every candidate with the exact fold
+    # anyway, so >= cut here only needs to be a superset filter.
+    if len(dim_rows) > 1:  # the size histogram already told us
+        odd = (emb.filter(F.col("embedding").isNotNull())
+               .withColumn("sz", F.size("embedding"))
+               .filter((F.col("sz") > 0)
+                       & (F.col("sz") != F.lit(main_dim or -1))))
+        dot = ("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> "
+               "cast(x as double) * cast(y as double)), cast(0 as double), "
+               "(acc, v) -> acc + v)")
+        nrm = ("sqrt(aggregate(transform({0}.embedding, x -> "
+               "cast(x as double) * cast(x as double)), "
+               "cast(0 as double), (acc, v) -> acc + v))")
+        cos = f"({dot} / nullif(({nrm.format('a')} * {nrm.format('b')}), 0))"
+        odd_pairs = (odd.alias("a")
+                     .join(odd.alias("b"),
+                           (F.col("a.sz") == F.col("b.sz"))
+                           & (F.col("a.vec_id") < F.col("b.vec_id")))
+                     .filter(F.expr(cos) >= F.lit(cut))
+                     .selectExpr("a.vec_id as vec_a", "b.vec_id as vec_b"))
+        cand = cand.unionByName(odd_pairs)
+    return cand

@@ -1969,6 +1969,10 @@ def _props_extract(d: str) -> str:
     # an integer property only when it prints as one.
     is_int = ("regexp_like(v, '^-?[0-9]+$')" if d == SPARK
               else "regexp_matches(v, '^-?[0-9]+$')")
+    # try_cast INSIDE the regex guard: the regex bounds the shape but not
+    # the magnitude — a 20-digit integral string passes it and a plain
+    # cast would then THROW in both dialects (Spark ANSI overflow,
+    # DuckDB ConversionException).  Pinned: wider-than-int64 -> NULL.
     return f"""
 select event_type,
        cast(count(*) as bigint) as n,
@@ -1977,7 +1981,7 @@ select event_type,
        cast(max(k) as bigint) as max_k
 from (
   select event_type,
-         case when {is_int} then cast(v as bigint) end as k
+         case when {is_int} then try_cast(v as bigint) end as k
   from (select event_type, {fn} as v from events) raw
 ) t group by event_type
 """

@@ -46,6 +46,12 @@ ROWS = [
     (13, _ts(95), 3, "buy", 1.0, '{"k": "12"}'),
     (14, _ts(96), 3, "buy", 1.0, '{"k": null}'),
     (15, _ts(97), 3, "buy", 1.0, '[]'),
+    # integral SHAPE but wider than int64: passes the regexp guard, so
+    # the cast inside it must be try_cast — a plain cast THROWS in both
+    # dialects (Spark ANSI overflow, DuckDB ConversionException).
+    # Pinned: wider-than-int64 -> NULL, the row still counts in n.
+    (16, _ts(98), 3, "buy", 1.0, '{"k": "12345678901234567890"}'),
+    (17, _ts(99), 3, "buy", 1.0, '{"k": -99999999999999999999}'),
 ]
 
 
