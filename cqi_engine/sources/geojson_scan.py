@@ -45,13 +45,20 @@ def read_geojsonl(spark: SparkSession, path: str,
     # invalid per the GeoJSON spec, and the reference's OGR loader never
     # yields such features, so the scan drops them rather than handing
     # the geometry kernels a NULL/degenerate vertex list.
+    # ... and the INNER positions need the same care: a null position or
+    # a 1-element position crashes/corrupts the vectorized kernels, and a
+    # spec-valid 3D (lon, lat, elevation) position would interleave
+    # garbage through the flatten-reshape fast path.  Matching OGR: drop
+    # features with invalid positions, keep 3D ones but slice to XY.
     lines = feats.filter(
         (F.col("f.geometry.type") == "LineString")
         & F.col("f.geometry.coordinates").isNotNull()
-        & (F.size("f.geometry.coordinates") >= 2))
+        & (F.size("f.geometry.coordinates") >= 2)
+        & F.forall("f.geometry.coordinates",
+                   lambda p: p.isNotNull() & (F.size(p) >= 2)))
+    geom = F.transform("f.geometry.coordinates", lambda p: F.slice(p, 1, 2))
     cols = [F.col("f.properties").getItem(c).alias(c) for c in tag_columns]
-    return lines.select(*cols,
-                        F.col("f.geometry.coordinates").alias("geom_lonlat"))
+    return lines.select(*cols, geom.alias("geom_lonlat"))
 
 
 def featurecollection_to_lines(src_path: str, dst_path: str) -> int:
@@ -75,12 +82,29 @@ def merge_way_files(spark: SparkSession, paths: list[str],
 
     The dedupe key is the exact coordinate sequence serialized to a
     string — byte-stable, so two features are duplicates iff their
-    vertex lists are identical (the QGIS semantic)."""
-    frames = [read_geojsonl(spark, p, tag_columns) for p in paths]
+    vertex lists are identical (the QGIS semantic).  KEEP-FIRST is part
+    of that semantic (deleteduplicategeometries keeps the first feature
+    in layer order): the survivor is pinned by (file index, position in
+    file), not by whichever row a shuffle partition delivers first —
+    dropDuplicates would make the surviving TAGS nondeterministic when
+    two imports carry the same geometry with different attributes."""
+    if not paths:
+        raise ValueError("merge_way_files: empty path list")
+    frames = []
+    for i, p in enumerate(paths):
+        # monotonically_increasing_id is (partition << 33 | row): text
+        # partitions follow file byte order, so it reproduces feature
+        # order within one file — the minor key under the file index.
+        frames.append(read_geojsonl(spark, p, tag_columns)
+                      .withColumn("_src", F.lit(i))
+                      .withColumn("_pos", F.monotonically_increasing_id()))
     merged = frames[0]
     for f in frames[1:]:
         merged = merged.unionByName(f, allowMissingColumns=True)
+    from pyspark.sql.window import Window
     geom_key = F.sha2(F.to_json(F.col("geom_lonlat")), 256)
+    w = Window.partitionBy("_geom_key").orderBy("_src", "_pos")
     return (merged.withColumn("_geom_key", geom_key)
-            .dropDuplicates(["_geom_key"])
-            .drop("_geom_key"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_geom_key", "_src", "_pos", "_rn"))

@@ -31,12 +31,29 @@ def _feature_struct(df: DataFrame, geometry_col: str | None):
                     geom.alias("geometry"))
 
 
+# to_json's default ignoreNullFields drops null struct members, which is
+# right for null PROPERTIES (OGR omits unset attributes) but spec-fatal
+# for the geometry member: RFC 7946 requires every Feature to carry a
+# "geometry" key, null or not, and strict parsers reject lines without
+# it.  Keep the default for the feature body and splice an explicit
+# "geometry":null into geometry-less features after serialization.
+_NULL_GEOM = F.concat(
+    F.expr("substring(value, 1, length(value) - 1)"),
+    F.lit(',"geometry":null}'))
+
+
+def _features_json(df: DataFrame, gcol: str | None):
+    feats = df.select(F.to_json(_feature_struct(df, gcol)).alias("value"))
+    if gcol is None:
+        return feats.select(_NULL_GEOM.alias("value"))
+    return feats
+
+
 def write_geojsonl(df: DataFrame, path: str,
                    geometry_col: str | None = "geom_lonlat") -> None:
     """Distributed newline-delimited GeoJSON (no driver materialization)."""
     gcol = geometry_col if geometry_col in df.columns else None
-    (df.select(F.to_json(_feature_struct(df, gcol)).alias("value"))
-     .write.mode("overwrite").text(path))
+    _features_json(df, gcol).write.mode("overwrite").text(path)
 
 
 def collect_feature_collection(df: DataFrame,
@@ -44,7 +61,6 @@ def collect_feature_collection(df: DataFrame,
                                limit: int = 100_000) -> dict:
     """Driver-side FeatureCollection for small exports (golden-diff sized)."""
     gcol = geometry_col if geometry_col in df.columns else None
-    rows = (df.select(F.to_json(_feature_struct(df, gcol)).alias("value"))
-            .limit(limit).collect())
+    rows = _features_json(df, gcol).limit(limit).collect()
     return {"type": "FeatureCollection",
             "features": [json.loads(r["value"]) for r in rows]}

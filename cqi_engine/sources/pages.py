@@ -140,8 +140,21 @@ def extract_ways(pages: DataFrame, tag_columns: list[str]) -> DataFrame:
             recs = []
             for url, text in zip(pdf["url"], pdf["text"]):
                 rec = parse_way_text(text)
+                # quarantine pages whose envelope parses but carries no
+                # usable geometry (truncated records): a None geom would
+                # reach the vectorized samplers as len(None) and kill
+                # the task for one dirty row.  Same position contract as
+                # read_geojsonl: >= 2 positions, each >= 2 numbers,
+                # sliced to XY (OGR keeps XY of 3D positions).
                 if rec is None:
                     continue
+                g = rec.get("geom_lonlat")
+                if (not isinstance(g, list) or len(g) < 2
+                        or any(not isinstance(p, (list, tuple))
+                               or len(p) < 2 for p in g)):
+                    continue
+                rec["geom_lonlat"] = [[float(p[0]), float(p[1])]
+                                      for p in g]
                 row = {"url": url}
                 for c in tag_columns:
                     v = rec.get(c)

@@ -216,8 +216,14 @@ def ways_from_documents(docs: DataFrame) -> DataFrame:
     fields.append(T.StructField("geom_lonlat", T.ArrayType(T.DoubleType())))
     out_schema = T.StructType(fields)
 
+    # materialized DRIVER-side and shipped in the task closure: the
+    # templates derive from the reference fixture file, which exists on
+    # the driver's filesystem only — an executor-side call would
+    # FileNotFoundError on any real cluster (--py-files ships code, not
+    # /root/reference).  ~140 small tuples, closure-sized.
+    templates = _fixture_templates()
+
     def gen(batches):
-        templates = _fixture_templates()
         for pdf in batches:
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             n = len(doc_ids)

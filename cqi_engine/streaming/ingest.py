@@ -30,13 +30,23 @@ def crawl_stats_query(pages: DataFrame, checkpoint_dir: str,
                       window: str = "1 hour",
                       watermark: str = "2 hours"):
     """Watermarked tumbling-window page counts per lang (late data beyond
-    the watermark is dropped, state is bounded)."""
+    the watermark is dropped).
+
+    Output mode matches the sink's semantics: the memory sink APPENDS
+    whatever each trigger emits, so update mode would leave one stale row
+    per re-triggered (window, lang) and any consumer that aggregates the
+    table double-counts.  complete mode replaces the table every trigger
+    — correct for the queryable-table consumer this sandbox demo serves.
+    At production scale this aggregation runs in update mode into an
+    upsert sink (Delta MERGE / Kafka compacted topic), where the
+    watermark keeps state bounded; the memory sink is the sandbox
+    stand-in, not the scale path."""
     agg = (pages
            .withWatermark("warc_ts", watermark)
            .groupBy(F.window("warc_ts", window), F.col("lang"))
            .agg(F.count("*").alias("n_pages"),
                 F.sum(F.octet_length("html")).alias("bytes_html")))
-    return (agg.writeStream.outputMode("update")
+    return (agg.writeStream.outputMode("complete")
             .option("checkpointLocation", checkpoint_dir)
             .format("memory"))
 

@@ -49,16 +49,18 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
         }])
         return
 
-    if state.exists:
-        start_ms, last_ms, n, vsum = state.get
-    else:
-        start_ms = last_ms = None
-        n, vsum = 0, 0.0
-
-    closed = []
-    seen_any = False
+    # Arrow chunk boundaries within a group are arbitrary (shuffle
+    # order), and late-but-within-watermark events are DELIVERED by
+    # Spark, not dropped — so neither per-chunk sorting nor "newest
+    # event extends the tail" holds.  Treat the problem as interval
+    # merging instead: every event is a [ms, ms] interval, the open
+    # session in state is a [start, last] interval, and a linear sweep
+    # over the intervals sorted by start merges everything closer than
+    # the gap.  Out-of-order arrivals then extend/backfill the open
+    # session instead of regressing its clock (which double-emitted
+    # sessions and re-armed the timeout in the past).
+    items: list[tuple[int, int, int, float]] = []
     for pdf in pdf_iter:
-        pdf = pdf.sort_values("ms_ts")
         for ms, val in zip(pdf["ms_ts"], pdf["value"]):
             if pd.isna(ms):
                 # NULL event time: the row has no position on the session
@@ -66,33 +68,35 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
                 # Spark still delivers it in the batch it arrives in) —
                 # skip it instead of crashing int(NaN)
                 continue
-            seen_any = True
             ms = int(ms)
-            if last_ms is not None and ms - last_ms > GAP_MS:
-                closed.append({
-                    "user_id": user_id, "session_start_ms": start_ms,
-                    "session_end_ms": last_ms, "n_events": n,
-                    "value_sum": vsum,
-                })
-                start_ms, n, vsum = ms, 0, 0.0
-            if start_ms is None:
-                start_ms = ms
-            last_ms = ms
-            n += 1
-            if not pd.isna(val):  # SQL SUM semantics: NULLs don't poison
-                vsum += float(val)
+            # SQL SUM semantics: NULL values don't poison the sum
+            items.append((ms, ms, 1, 0.0 if pd.isna(val) else float(val)))
+    if state.exists:
+        items.append(tuple(state.get))
 
-    if last_ms is None:
+    if not items:
         # every row in this batch had NULL event time and no prior state:
         # nothing to hold, no timeout to arm (a timestamp is mandatory
         # for EventTimeTimeout state)
-        assert not seen_any
         return
 
-    state.update((start_ms, last_ms, n, vsum))
+    items.sort(key=lambda t: (t[0], t[1]))
+    closed = []
+    cs, ce, cn, cv = items[0]
+    for s, e, n2, v2 in items[1:]:
+        if s - ce <= GAP_MS:
+            ce, cn, cv = max(ce, e), cn + n2, cv + v2
+        else:
+            closed.append({
+                "user_id": user_id, "session_start_ms": cs,
+                "session_end_ms": ce, "n_events": cn, "value_sum": cv,
+            })
+            cs, ce, cn, cv = s, e, n2, v2
+
+    state.update((cs, ce, cn, cv))
     # replayed/late batches: the watermark may already be past the natural
     # timeout — a timeout timestamp must be strictly ahead of the watermark
-    state.setTimeoutTimestamp(max(last_ms + GAP_MS,
+    state.setTimeoutTimestamp(max(ce + GAP_MS,
                                   state.getCurrentWatermarkMs() + 1))
     if closed:
         yield pd.DataFrame(closed)

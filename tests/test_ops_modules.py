@@ -299,6 +299,50 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert closed_counts == want
 
 
+def test_stateful_sessionize_late_within_watermark(spark, tmp_path):
+    """Late-but-within-watermark events are DELIVERED by Spark, not
+    dropped.  The sessionizer used to treat the newest arrival as the
+    session tail, so a late event REGRESSED the session clock and the
+    next on-time event spuriously split the session.  Pinned via the
+    interval-merge semantics: batch 1 opens [0, 25 min]; batch 2
+    delivers a late 10-min event (inside the span) plus a 50-min event
+    (25 min after the true tail, under the 30-min gap) — one session
+    [0, 50 min] of 4 events, closed by the watermark a batch-3 far-
+    future event pushes past its timeout.  The old code emitted two
+    wrong sessions ([0, 10] and [50, 50])."""
+    import datetime
+
+    from cqi_engine.streaming.stateful import sessionize_stream
+
+    ts = (lambda m: datetime.datetime(2026, 1, 1)
+          + datetime.timedelta(minutes=m))
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    batches = [
+        [(0, ts(0), 1, "a", 1.0, None), (1, ts(25), 1, "a", 2.0, None)],
+        [(2, ts(10), 1, "a", 4.0, None), (3, ts(50), 1, "a", 8.0, None)],
+        [(4, ts(600), 1, "a", 0.5, None)],   # pushes the watermark
+    ]
+    src = str(tmp_path / "late_in")
+    for rows in batches:
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("late_sessions")
+         .option("checkpointLocation", str(tmp_path / "late_ck"))
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    got = sorted(tuple(r) for r in spark.table("late_sessions").collect())
+    base, m = 1767225600000, 60 * 1000   # 2026-01-01T00:00Z in epoch ms
+    assert got == [(1, base, base + 50 * m, 4, 15.0)]
+
+
 # -------------------------------------------------------- geojson scan ----
 def test_distributed_geojson_scan(spark, tmp_path):
     """S1 at scale: GeoJSONL -> way table, parity with the driver-side
@@ -813,6 +857,31 @@ def test_geojsonl_scan_drops_invalid_linestrings(spark, tmp_path):
         [("path", [[13.1, 52.1], [13.2, 52.2]])]
 
 
+def test_geojsonl_scan_position_validity_and_3d(spark, tmp_path):
+    """Inner positions get the same care as the outer array: a null
+    position or a 1-element position drops the feature (they would
+    crash or corrupt the vectorized kernels), while a spec-valid 3D
+    (lon, lat, elevation) position keeps the feature with the elevation
+    sliced off — what OGR does."""
+    from cqi_engine.sources.geojson_scan import read_geojsonl
+
+    lines = [
+        '{"type":"Feature","properties":{"highway":"null_pos"},"geometry":'
+        '{"type":"LineString","coordinates":[[13.1,52.5],null]}}',
+        '{"type":"Feature","properties":{"highway":"short_pos"},"geometry":'
+        '{"type":"LineString","coordinates":[[13.1,52.5],[13.2]]}}',
+        '{"type":"Feature","properties":{"highway":"three_d"},"geometry":'
+        '{"type":"LineString","coordinates":'
+        '[[13.1,52.5,34.0],[13.2,52.6,35.0]]}}',
+    ]
+    p = str(tmp_path / "pos.geojsonl")
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines))
+    out = read_geojsonl(spark, p, ["highway"]).collect()
+    assert [(r["highway"], r["geom_lonlat"]) for r in out] == \
+        [("three_d", [[13.1, 52.5], [13.2, 52.6]])]
+
+
 # ------------------------------------------------- multi-file merge (S2) ----
 def test_merge_way_files_dedupes_geometries(spark, tmp_path):
     """S2: merge N way files, drop duplicate geometries
@@ -830,6 +899,41 @@ def test_merge_way_files_dedupes_geometries(spark, tmp_path):
     assert merged.count() == 138  # duplicates across files collapsed
     ids = [r["id"] for r in merged.select("id").collect()]
     assert len(set(ids)) == 138
+
+
+def test_merge_way_files_keeps_first_by_import_order(spark, tmp_path):
+    """deleteduplicategeometries keeps the FIRST feature in layer order;
+    when two imports carry the same geometry with different tags, the
+    survivor's tags must come from the earlier file deterministically —
+    dropDuplicates would keep whichever row a shuffle delivered first."""
+    import json
+
+    import pytest
+
+    from cqi_engine.sources.geojson_scan import merge_way_files
+
+    def feat(highway):
+        return json.dumps({
+            "type": "Feature", "properties": {"highway": highway},
+            "geometry": {"type": "LineString",
+                         "coordinates": [[13.1, 52.5], [13.2, 52.6]]}})
+
+    p1 = str(tmp_path / "imp1.geojsonl")
+    p2 = str(tmp_path / "imp2.geojsonl")
+    with open(p1, "w", encoding="utf-8") as fh:
+        fh.write(feat("path") + "\n")
+    with open(p2, "w", encoding="utf-8") as fh:
+        fh.write(feat("cycleway") + "\n")
+
+    for _ in range(3):  # stable across repeated plans/shuffles
+        out = merge_way_files(spark, [p1, p2], ["highway"]).collect()
+        assert [r["highway"] for r in out] == ["path"]
+    # reversed import order flips the survivor — it IS order-defined
+    out = merge_way_files(spark, [p2, p1], ["highway"]).collect()
+    assert [r["highway"] for r in out] == ["cycleway"]
+
+    with pytest.raises(ValueError):
+        merge_way_files(spark, [], ["highway"])
 
 
 # ------------------------------------------------------ S5 QML style sink ----
@@ -974,3 +1078,30 @@ def test_lsh_arrow_buckets_match_sql_template_on_degenerate_vectors(
     C._embed_neardup_lsh_fn(spark, sf).count()
     got = sorted(tuple(r) for r in spark.table("lsh_buckets").collect())
     assert want == got
+
+
+def test_extract_ways_quarantines_pages_without_geometry(spark):
+    """A page whose envelope parses but carries no usable `geom:` line
+    (truncated crawl record) must be quarantined at extraction — a None
+    geometry would reach the vectorized samplers as len(None) and kill
+    the task.  Same position contract as the GeoJSONL scan: >= 2
+    positions of >= 2 numbers each, 3D positions sliced to XY."""
+    from cqi_engine.sources.pages import extract_ways, way_to_text
+
+    good = way_to_text("w_ok", {"highway": "path"},
+                       [[13.1, 52.5], [13.2, 52.6]])
+    no_geom = good.replace("geom: [[13.1, 52.5], [13.2, 52.6]]\n", "")
+    one_pt = way_to_text("w_one", {"highway": "path"}, [[13.1, 52.5]])
+    # a 3D envelope comes from a foreign crawler, not our encoder —
+    # splice the elevation-carrying geom line in by hand
+    three_d = way_to_text("w_3d", {"highway": "path"},
+                          [[13.1, 52.5], [13.2, 52.6]]).replace(
+        "geom: [[13.1, 52.5], [13.2, 52.6]]",
+        "geom: [[13.1, 52.5, 34.0], [13.2, 52.6, 35.0]]")
+    pages = spark.createDataFrame(
+        [("u1", good), ("u2", no_geom), ("u3", one_pt), ("u4", three_d)],
+        ["url", "text"])
+    got = {r["url"]: r["geom_lonlat"]
+           for r in extract_ways(pages, ["highway"]).collect()}
+    assert set(got) == {"u1", "u4"}
+    assert got["u4"] == [[13.1, 52.5], [13.2, 52.6]]

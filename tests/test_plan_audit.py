@@ -181,6 +181,18 @@ def test_geojson_sink_roundtrip(spark, tmp_path):
     lines = spark.read.text(out).collect()
     assert len(lines) == 1 and '"type":"Feature"' in lines[0]["value"]
 
+    # RFC 7946: every Feature must carry a "geometry" member, null
+    # included — to_json's ignoreNullFields default used to drop it for
+    # geometry-less exports, producing spec-invalid lines
+    import json
+    out2 = str(tmp_path / "gj_nogeom")
+    write_geojsonl(df.drop("geom_lonlat"), out2)
+    rec = json.loads(spark.read.text(out2).collect()[0]["value"])
+    assert "geometry" in rec and rec["geometry"] is None
+    assert rec["properties"]["id"] == "w1"
+    fc2 = collect_feature_collection(df.drop("geom_lonlat"))
+    assert fc2["features"][0]["geometry"] is None
+
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-bucketed tables join without a shuffle (SURVEY §4 co-location)."""
