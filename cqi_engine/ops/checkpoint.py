@@ -54,12 +54,18 @@ def run_partitioned(spark: SparkSession, out_dir: str,
     Each partition commits atomically: data first, then the lineage record
     (rename), so a crash between the two reprocesses that partition —
     overwriting the same deterministic output, never duplicating.
+
+    A completed partition is skipped only if its lineage record was
+    produced from the SAME ``input_snapshot``: Iceberg resume semantics
+    are snapshot-scoped, so a lineage record stamped with an older input
+    snapshot is stale — its output may not reflect the current input —
+    and the partition reprocesses (overwriting in place, still atomic).
     """
     os.makedirs(_lineage_dir(out_dir), exist_ok=True)
     done = completed_partitions(out_dir)
     ran, skipped = [], []
     for pid in partitions:
-        if pid in done:
+        if pid in done and done[pid].get("input_snapshot") == input_snapshot:
             skipped.append(pid)
             continue
         t0 = time.perf_counter()

@@ -199,6 +199,17 @@ def test_checkpoint_resume(spark, tmp_path):
                           + list(range(200, 210)))
     assert set(completed_partitions(out)) == {"0", "1", "2"}
 
+    # resume is snapshot-scoped (Iceberg semantics): a new INPUT snapshot
+    # invalidates every lineage record stamped with the old one — the
+    # partitions reprocess and the rewritten lineage carries the new stamp
+    r3 = run_partitioned(spark, out, ["1", "2"], job, input_snapshot="s2")
+    assert r3["ran"] == ["1", "2"] and r3["skipped"] == []
+    assert calls == ["0", "1", "2", "1", "2"]
+    assert read_snapshot(spark, out).count() == 30  # overwrite, no dupes
+    lineage = completed_partitions(out)
+    assert lineage["1"]["input_snapshot"] == "s2"
+    assert lineage["0"]["input_snapshot"] == "s1"  # untouched partition
+
 
 # ------------------------------------------------------ stateful stream ----
 def test_stateful_sessionize_survives_dirty_events(spark, tmp_path):
