@@ -86,9 +86,21 @@ def run_partitioned(spark: SparkSession, out_dir: str,
                                      f"part-{pid}.json"))
         ran.append(pid)
 
+    # re-read lineage so the manifest records what each partition's data
+    # was ACTUALLY produced from: a rerun over a subset at a new input
+    # snapshot leaves untouched partitions at their old snapshot, and a
+    # single top-level stamp would advertise a snapshot the data does not
+    # uniformly reflect (downstream cache invalidation / incremental
+    # readers key off it).  `input_snapshot` stays as the uniform value,
+    # null when mixed.
+    lineage = completed_partitions(out_dir)
+    part_snaps = {pid: lineage[pid].get("input_snapshot", "")
+                  for pid in sorted(set(list(done) + ran)) if pid in lineage}
+    distinct = set(part_snaps.values())
     manifest = {
         "partitions": sorted(set(list(done) + ran)),
-        "input_snapshot": input_snapshot,
+        "input_snapshot": distinct.pop() if len(distinct) == 1 else None,
+        "partition_snapshots": part_snaps,
         "n_partitions": len(set(list(done) + ran)),
     }
     tmp = os.path.join(out_dir, ".tmp-_SNAPSHOT.json")

@@ -54,8 +54,12 @@ def read_geojsonl(spark: SparkSession, path: str,
         (F.col("f.geometry.type") == "LineString")
         & F.col("f.geometry.coordinates").isNotNull()
         & (F.size("f.geometry.coordinates") >= 2)
+        # ... including the ordinates: a JSON null inside a position
+        # parses to a NULL array element and would flow into the
+        # kernels as NaN — only the first two matter (3D slices to XY)
         & F.forall("f.geometry.coordinates",
-                   lambda p: p.isNotNull() & (F.size(p) >= 2)))
+                   lambda p: p.isNotNull() & (F.size(p) >= 2)
+                   & F.get(p, 0).isNotNull() & F.get(p, 1).isNotNull()))
     geom = F.transform("f.geometry.coordinates", lambda p: F.slice(p, 1, 2))
     cols = [F.col("f.properties").getItem(c).alias(c) for c in tag_columns]
     return lines.select(*cols, geom.alias("geom_lonlat"))
@@ -92,19 +96,26 @@ def merge_way_files(spark: SparkSession, paths: list[str],
         raise ValueError("merge_way_files: empty path list")
     frames = []
     for i, p in enumerate(paths):
-        # monotonically_increasing_id is (partition << 33 | row): text
-        # partitions follow file byte order, so it reproduces feature
-        # order within one file — the minor key under the file index.
+        # layer order within one path entry: a path may expand to SEVERAL
+        # files (directory/glob), and Spark packs file splits into
+        # partitions by size DESCENDING — so monotonically_increasing_id
+        # (partition << 33 | row) alone does NOT follow file-name order
+        # across those files.  Key by (path index, file name, position):
+        # file name is the declared layer order within a directory
+        # (part-00000 < part-00001, the writer convention), and within
+        # one file equal-size splits keep offset order under Spark's
+        # stable size sort, so the mono id is a valid minor key.
         frames.append(read_geojsonl(spark, p, tag_columns)
                       .withColumn("_src", F.lit(i))
+                      .withColumn("_file", F.input_file_name())
                       .withColumn("_pos", F.monotonically_increasing_id()))
     merged = frames[0]
     for f in frames[1:]:
         merged = merged.unionByName(f, allowMissingColumns=True)
     from pyspark.sql.window import Window
     geom_key = F.sha2(F.to_json(F.col("geom_lonlat")), 256)
-    w = Window.partitionBy("_geom_key").orderBy("_src", "_pos")
+    w = Window.partitionBy("_geom_key").orderBy("_src", "_file", "_pos")
     return (merged.withColumn("_geom_key", geom_key)
             .withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1")
-            .drop("_geom_key", "_src", "_pos", "_rn"))
+            .drop("_geom_key", "_src", "_file", "_pos", "_rn"))

@@ -23,9 +23,14 @@ def _feature_struct(df: DataFrame, geometry_col: str | None):
         geom = F.lit(None).cast("string").alias("geometry")
         return F.struct(F.lit("Feature").alias("type"),
                         prop_struct.alias("properties"), geom)
-    geom = F.struct(
-        F.lit("LineString").alias("type"),
-        F.col(geometry_col).alias("coordinates"))
+    # a row-level NULL geometry must null the whole member: serializing
+    # the struct as-is would emit {"type":"LineString"} with the
+    # coordinates member dropped by ignoreNullFields — spec-invalid
+    # (RFC 7946 §3.1.4 requires coordinates in every LineString)
+    geom = F.when(
+        F.col(geometry_col).isNotNull(),
+        F.struct(F.lit("LineString").alias("type"),
+                 F.col(geometry_col).alias("coordinates")))
     return F.struct(F.lit("Feature").alias("type"),
                     prop_struct.alias("properties"),
                     geom.alias("geometry"))
@@ -36,17 +41,21 @@ def _feature_struct(df: DataFrame, geometry_col: str | None):
 # for the geometry member: RFC 7946 requires every Feature to carry a
 # "geometry" key, null or not, and strict parsers reject lines without
 # it.  Keep the default for the feature body and splice an explicit
-# "geometry":null into geometry-less features after serialization.
+# "geometry":null into geometry-less features after serialization —
+# both when the COLUMN is absent and when a ROW's geometry is NULL.
 _NULL_GEOM = F.concat(
     F.expr("substring(value, 1, length(value) - 1)"),
     F.lit(',"geometry":null}'))
 
 
 def _features_json(df: DataFrame, gcol: str | None):
-    feats = df.select(F.to_json(_feature_struct(df, gcol)).alias("value"))
-    if gcol is None:
-        return feats.select(_NULL_GEOM.alias("value"))
-    return feats
+    feats = df.select(
+        F.to_json(_feature_struct(df, gcol)).alias("value"),
+        (F.lit(True) if gcol is None else F.col(gcol).isNull())
+        .alias("_no_geom"))
+    return feats.select(
+        F.when(F.col("_no_geom"), _NULL_GEOM)
+        .otherwise(F.col("value")).alias("value"))
 
 
 def write_geojsonl(df: DataFrame, path: str,

@@ -151,7 +151,14 @@ def extract_ways(pages: DataFrame, tag_columns: list[str]) -> DataFrame:
                 g = rec.get("geom_lonlat")
                 if (not isinstance(g, list) or len(g) < 2
                         or any(not isinstance(p, (list, tuple))
-                               or len(p) < 2 for p in g)):
+                               or len(p) < 2
+                               or not all(isinstance(x, (int, float))
+                                          and not isinstance(x, bool)
+                                          for x in p[:2])
+                               for p in g)):
+                    # element types matter too: json.loads happily yields
+                    # null/str/nested-list ordinates, and float(None)
+                    # outside this guard would kill the task for one row
                     continue
                 rec["geom_lonlat"] = [[float(p[0]), float(p[1])]
                                       for p in g]

@@ -29,18 +29,21 @@ def read_pages_stream(spark: SparkSession, path: str,
 def crawl_stats_query(pages: DataFrame, checkpoint_dir: str,
                       window: str = "1 hour",
                       watermark: str = "2 hours"):
-    """Watermarked tumbling-window page counts per lang (late data beyond
-    the watermark is dropped).
+    """Watermarked tumbling-window page counts per lang.
 
     Output mode matches the sink's semantics: the memory sink APPENDS
     whatever each trigger emits, so update mode would leave one stale row
     per re-triggered (window, lang) and any consumer that aggregates the
     table double-counts.  complete mode replaces the table every trigger
     — correct for the queryable-table consumer this sandbox demo serves.
-    At production scale this aggregation runs in update mode into an
-    upsert sink (Delta MERGE / Kafka compacted topic), where the
-    watermark keeps state bounded; the memory sink is the sandbox
-    stand-in, not the scale path."""
+    Know the complete-mode trade: Spark then neither drops late rows nor
+    evicts aggregation state (the watermark is inert), so state and the
+    driver-side table grow with the window count — fine for a bounded
+    demo replay, unbounded on a continuous feed.  At production scale
+    this aggregation runs in update mode into an upsert sink (Delta
+    MERGE / Kafka compacted topic), where the watermark drops late data
+    and bounds state; the memory sink is the sandbox stand-in, not the
+    scale path."""
     agg = (pages
            .withWatermark("warc_ts", watermark)
            .groupBy(F.window("warc_ts", window), F.col("lang"))

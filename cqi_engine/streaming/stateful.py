@@ -2,12 +2,32 @@
 gap-based sessionization with ``applyInPandasWithState``.
 
 Spark has session windows, but the reference-derived requirement — emit a
-session row carrying arbitrary per-session aggregates (count, value sum,
-first/last type) exactly when the gap closes or the watermark passes — is
-the canonical case for a custom stateful operator.  State per user_id:
-(session_start_ms, last_ms, n_events, value_sum).  A session closes when a
-new event arrives more than ``gap_ms`` after the last, or on state timeout
-once the watermark clears the gap.
+session row carrying arbitrary per-session aggregates (count, value sum)
+exactly when the watermark proves the session can no longer change — is
+the canonical case for a custom stateful operator.
+
+Semantics (why state holds a LIST of intervals, not one open session):
+
+* Arrow chunk boundaries within a group are arbitrary (shuffle order) and
+  late-but-within-watermark events are DELIVERED by Spark, not dropped —
+  so "newest event extends the tail" is wrong.  Every event is a
+  [ms, ms] interval; a linear sweep over (state ∪ batch) intervals sorted
+  by start merges everything closer than the gap.
+* A gap between two merged intervals does NOT by itself close the earlier
+  one: a later batch may still deliver an event inside or adjacent to it
+  (anything ≥ the watermark is admissible).  Emitting on gap alone
+  double-emits exactly the sessions a late arrival would have extended.
+  A session is FINAL — emitted and dropped from state — only once
+  ``session_end + gap < watermark``: every future event has
+  ``ms ≥ watermark``, so nothing can merge with it anymore.
+* The state timeout is armed at the earliest pending expiry
+  (min(end) + gap, clamped above the current watermark), so sessions
+  flush as soon as the watermark proves them final even if the user goes
+  quiet.
+
+At 100 TB this is the same shape Spark's own session windows use:
+per-key state is O(live sessions per user) — bounded by the watermark
+horizon — and everything shuffles once on user_id.
 """
 
 from __future__ import annotations
@@ -27,11 +47,13 @@ SESSION_SCHEMA = T.StructType([
     T.StructField("value_sum", T.DoubleType()),
 ])
 
+# column-parallel arrays: interval i is (start_ms[i], last_ms[i], n[i],
+# vsum[i]); all not-yet-watermark-expired sessions for the key
 STATE_SCHEMA = T.StructType([
-    T.StructField("start_ms", T.LongType()),
-    T.StructField("last_ms", T.LongType()),
-    T.StructField("n", T.LongType()),
-    T.StructField("vsum", T.DoubleType()),
+    T.StructField("start_ms", T.ArrayType(T.LongType())),
+    T.StructField("last_ms", T.ArrayType(T.LongType())),
+    T.StructField("n", T.ArrayType(T.LongType())),
+    T.StructField("vsum", T.ArrayType(T.DoubleType())),
 ])
 
 GAP_MS = 30 * 60 * 1000
@@ -40,39 +62,23 @@ GAP_MS = 30 * 60 * 1000
 def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
                   state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    if state.hasTimedOut:
-        start_ms, last_ms, n, vsum = state.get
-        state.remove()
-        yield pd.DataFrame([{
-            "user_id": user_id, "session_start_ms": start_ms,
-            "session_end_ms": last_ms, "n_events": n, "value_sum": vsum,
-        }])
-        return
 
-    # Arrow chunk boundaries within a group are arbitrary (shuffle
-    # order), and late-but-within-watermark events are DELIVERED by
-    # Spark, not dropped — so neither per-chunk sorting nor "newest
-    # event extends the tail" holds.  Treat the problem as interval
-    # merging instead: every event is a [ms, ms] interval, the open
-    # session in state is a [start, last] interval, and a linear sweep
-    # over the intervals sorted by start merges everything closer than
-    # the gap.  Out-of-order arrivals then extend/backfill the open
-    # session instead of regressing its clock (which double-emitted
-    # sessions and re-armed the timeout in the past).
     items: list[tuple[int, int, int, float]] = []
-    for pdf in pdf_iter:
-        for ms, val in zip(pdf["ms_ts"], pdf["value"]):
-            if pd.isna(ms):
-                # NULL event time: the row has no position on the session
-                # timeline (the watermark would eventually drop it anyway;
-                # Spark still delivers it in the batch it arrives in) —
-                # skip it instead of crashing int(NaN)
-                continue
-            ms = int(ms)
-            # SQL SUM semantics: NULL values don't poison the sum
-            items.append((ms, ms, 1, 0.0 if pd.isna(val) else float(val)))
+    if not state.hasTimedOut:
+        for pdf in pdf_iter:
+            for ms, val in zip(pdf["ms_ts"], pdf["value"]):
+                if pd.isna(ms):
+                    # NULL event time: the row has no position on the
+                    # session timeline (the watermark would eventually
+                    # drop it anyway; Spark still delivers it in the
+                    # batch it arrives in) — skip it, don't crash int(NaN)
+                    continue
+                # SQL SUM semantics: NULL values don't poison the sum
+                items.append((int(ms), int(ms), 1,
+                              0.0 if pd.isna(val) else float(val)))
     if state.exists:
-        items.append(tuple(state.get))
+        starts, ends, ns, vs = state.get
+        items.extend(zip(starts, ends, ns, vs))
 
     if not items:
         # every row in this batch had NULL event time and no prior state:
@@ -81,25 +87,38 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
         return
 
     items.sort(key=lambda t: (t[0], t[1]))
-    closed = []
+    merged = []
     cs, ce, cn, cv = items[0]
     for s, e, n2, v2 in items[1:]:
         if s - ce <= GAP_MS:
             ce, cn, cv = max(ce, e), cn + n2, cv + v2
         else:
-            closed.append({
-                "user_id": user_id, "session_start_ms": cs,
-                "session_end_ms": ce, "n_events": cn, "value_sum": cv,
-            })
+            merged.append((cs, ce, cn, cv))
             cs, ce, cn, cv = s, e, n2, v2
+    merged.append((cs, ce, cn, cv))
 
-    state.update((cs, ce, cn, cv))
-    # replayed/late batches: the watermark may already be past the natural
-    # timeout — a timeout timestamp must be strictly ahead of the watermark
-    state.setTimeoutTimestamp(max(ce + GAP_MS,
-                                  state.getCurrentWatermarkMs() + 1))
-    if closed:
-        yield pd.DataFrame(closed)
+    # final iff no admissible future event (ms >= wm) can merge:
+    # merge needs ms - end <= gap, impossible once end + gap < wm
+    wm = state.getCurrentWatermarkMs()
+    expired = [m for m in merged if m[1] + GAP_MS < wm]
+    live = [m for m in merged if m[1] + GAP_MS >= wm]
+
+    if live:
+        state.update(([m[0] for m in live], [m[1] for m in live],
+                      [m[2] for m in live], [m[3] for m in live]))
+        # earliest pending expiry; replayed/late batches: the timeout
+        # timestamp must be strictly ahead of the current watermark
+        state.setTimeoutTimestamp(
+            max(min(m[1] + GAP_MS for m in live), wm + 1))
+    elif state.exists:
+        # every interval flushed (timeout path, or a pure-state rerun)
+        state.remove()
+
+    if expired:
+        yield pd.DataFrame([{
+            "user_id": user_id, "session_start_ms": s,
+            "session_end_ms": e, "n_events": n, "value_sum": v,
+        } for s, e, n, v in expired])
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:

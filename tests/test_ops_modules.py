@@ -209,6 +209,12 @@ def test_checkpoint_resume(spark, tmp_path):
     lineage = completed_partitions(out)
     assert lineage["1"]["input_snapshot"] == "s2"
     assert lineage["0"]["input_snapshot"] == "s1"  # untouched partition
+    # the manifest must not advertise a uniform snapshot the data does
+    # not reflect: partition 0 still carries s1 output, so the top-level
+    # stamp goes null and the per-partition map tells the truth
+    assert r3["manifest"]["input_snapshot"] is None
+    assert r3["manifest"]["partition_snapshots"] == \
+        {"0": "s1", "1": "s2", "2": "s2"}
 
 
 # ------------------------------------------------------ stateful stream ----
@@ -230,7 +236,9 @@ def test_stateful_sessionize_survives_dirty_events(spark, tmp_path):
         (1, ts(1), 1, "a", None, None),     # NULL value
         (2, None, 1, "a", 2.0, None),       # NULL event time
         (3, ts(2), None, "a", 3.0, None),   # NULL user_id
-        (4, ts(120), 1, "a", 4.0, None),    # gap closes user 1's session
+        (4, ts(120), 1, "a", 4.0, None),    # gap-separated second session
+        (5, ts(600), 1, "a", 0.5, None),    # watermark flusher: wm ends at
+                                            # 480 min, finalizing the rest
     ]
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, "
@@ -247,10 +255,18 @@ def test_stateful_sessionize_survives_dirty_events(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
-    got = [tuple(r) for r in spark.table("dirty_sessions").collect()]
-    # the one gap-closed session: user 1, events at minutes 0 and 1, the
-    # NULL value skipped in the sum, the NULL-ts row skipped entirely
-    assert got == [(1, 1767225600000, 1767225660000, 2, 1.0)]
+    got = {tuple(r) for r in spark.table("dirty_sessions").collect()}
+    # watermark-final sessions only (end + gap < 480 min): user 1's
+    # [0, 1 min] with the NULL value skipped in the sum and the NULL-ts
+    # row skipped entirely, user 1's singleton at 120 min, and the NULL
+    # user_id key's singleton at 2 min (an ordinary group).  The 600-min
+    # flusher event itself stays in state (not yet watermark-final).
+    base, m = 1767225600000, 60 * 1000
+    assert got == {
+        (1, base, base + 1 * m, 2, 1.0),
+        (1, base + 120 * m, base + 120 * m, 1, 4.0),
+        (None, base + 2 * m, base + 2 * m, 1, 3.0),
+    }
 
 
 def test_stateful_sessionize_stream(spark, tmp_path):
@@ -283,10 +299,10 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         "select user_id, count(*) as closed from sessions group by user_id")
     closed_counts = {r["user_id"]: r["closed"] for r in got.collect()}
 
-    # batch truth (exact): non-final sessions always close on the gap;
-    # the FINAL session of each user closes by event-time timeout iff its
-    # timeout (last_ms + gap) precedes the final watermark (global max ts
-    # minus the 2 h watermark delay).
+    # batch truth (exact): a session is emitted iff the watermark PROVES
+    # it final — session_end + gap < final watermark (global max ts minus
+    # the 2 h delay).  A gap alone never closes a session: a later batch
+    # may still deliver a within-watermark event adjacent to it.
     import pandas as pd
     ev = spark.read.parquet(src).select(
         "user_id", SF.unix_millis(SF.col("ts").cast("timestamp")).alias("ms")
@@ -296,14 +312,13 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     want = {}
     for uid, grp in ev.groupby("user_id"):
         ms = sorted(grp["ms"])
-        n_sessions, last = 1, ms[0]
+        ends, last = [], ms[0]
         for m in ms[1:]:
             if m - last > gap:
-                n_sessions += 1
+                ends.append(last)
             last = m
-        closed = n_sessions - 1
-        if last + gap < wm_final:
-            closed += 1
+        ends.append(last)
+        closed = sum(1 for e in ends if e + gap < wm_final)
         if closed:
             want[uid] = closed
 
@@ -335,9 +350,21 @@ def test_stateful_sessionize_late_within_watermark(spark, tmp_path):
         [(4, ts(600), 1, "a", 0.5, None)],   # pushes the watermark
     ]
     src = str(tmp_path / "late_in")
-    for rows in batches:
+    # FileStreamSource orders files by modification time; sequential
+    # writes can land in the same mtime tick, and if the watermark-
+    # pushing batch 3 sorted before batch 2 the late events would be
+    # (legitimately) dropped.  Stamp each batch's files with strictly
+    # increasing mtimes so replay order is the written order.
+    import os
+    stamped: set[str] = set()
+    for i, rows in enumerate(batches):
         (spark.createDataFrame(rows, schema)
          .coalesce(1).write.mode("append").parquet(src))
+        for fname in os.listdir(src):
+            p = os.path.join(src, fname)
+            if p not in stamped and os.path.isfile(p):
+                os.utime(p, (1_600_000_000 + i * 60,) * 2)
+                stamped.add(p)
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
     q = (sessionize_stream(stream).writeStream.outputMode("append")
@@ -884,6 +911,8 @@ def test_geojsonl_scan_position_validity_and_3d(spark, tmp_path):
         '{"type":"Feature","properties":{"highway":"three_d"},"geometry":'
         '{"type":"LineString","coordinates":'
         '[[13.1,52.5,34.0],[13.2,52.6,35.0]]}}',
+        '{"type":"Feature","properties":{"highway":"null_ord"},"geometry":'
+        '{"type":"LineString","coordinates":[[null,52.5],[13.2,52.6]]}}',
     ]
     p = str(tmp_path / "pos.geojsonl")
     with open(p, "w", encoding="utf-8") as fh:
@@ -945,6 +974,44 @@ def test_merge_way_files_keeps_first_by_import_order(spark, tmp_path):
 
     with pytest.raises(ValueError):
         merge_way_files(spark, [], ["highway"])
+
+
+def test_merge_way_files_directory_path_keeps_file_name_order(spark,
+                                                              tmp_path):
+    """A path entry that expands to several files (directory import):
+    Spark packs file splits by size DESCENDING, so a position-only key
+    would crown the duplicate from the LARGEST part file as 'first'.
+    The survivor must follow file-NAME order (the writer convention) —
+    pinned with a small first-named file and a much larger second one."""
+    import json
+
+    from cqi_engine.sources.geojson_scan import merge_way_files
+
+    def feat(highway, coords=None):
+        return json.dumps({
+            "type": "Feature", "properties": {"highway": highway},
+            "geometry": {"type": "LineString",
+                         "coordinates": coords
+                         or [[13.1, 52.5], [13.2, 52.6]]}})
+
+    d = tmp_path / "imp_dir"
+    d.mkdir()
+    # part-00000: one duplicate-geometry feature, tiny file
+    (d / "part-00000.geojsonl").write_text(feat("first") + "\n",
+                                           encoding="utf-8")
+    # part-00001: the same geometry with different tags plus bulk filler
+    # features so this file is LARGER (size-desc packing scans it first)
+    filler = [feat(f"f{k}", [[13.1 + k, 52.5], [13.2 + k, 52.6]])
+              for k in range(1, 200)]
+    (d / "part-00001.geojsonl").write_text(
+        feat("second") + "\n" + "\n".join(filler) + "\n", encoding="utf-8")
+
+    for _ in range(3):
+        out = merge_way_files(spark, [str(d)], ["highway"]).collect()
+        dup = [r["highway"] for r in out
+               if r["geom_lonlat"] == [[13.1, 52.5], [13.2, 52.6]]]
+        assert dup == ["first"]
+        assert len(out) == 200  # 1 survivor + 199 filler
 
 
 # ------------------------------------------------------ S5 QML style sink ----
@@ -1109,8 +1176,17 @@ def test_extract_ways_quarantines_pages_without_geometry(spark):
                           [[13.1, 52.5], [13.2, 52.6]]).replace(
         "geom: [[13.1, 52.5], [13.2, 52.6]]",
         "geom: [[13.1, 52.5, 34.0], [13.2, 52.6, 35.0]]")
+    # non-numeric ordinates pass a shape-only guard and float(None) /
+    # float("x") would then kill the task — must quarantine, not crash
+    null_ord = good.replace("geom: [[13.1, 52.5]",
+                            "geom: [[null, 52.5]")
+    str_ord = good.replace("geom: [[13.1, 52.5]",
+                           'geom: [["x", 52.5]')
+    nested = good.replace("geom: [[13.1, 52.5], [13.2, 52.6]]",
+                          "geom: [[[1, 2], [3, 4]], [[5, 6], [7, 8]]]")
     pages = spark.createDataFrame(
-        [("u1", good), ("u2", no_geom), ("u3", one_pt), ("u4", three_d)],
+        [("u1", good), ("u2", no_geom), ("u3", one_pt), ("u4", three_d),
+         ("u5", null_ord), ("u6", str_ord), ("u7", nested)],
         ["url", "text"])
     got = {r["url"]: r["geom_lonlat"]
            for r in extract_ways(pages, ["highway"]).collect()}

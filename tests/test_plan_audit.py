@@ -193,6 +193,22 @@ def test_geojson_sink_roundtrip(spark, tmp_path):
     fc2 = collect_feature_collection(df.drop("geom_lonlat"))
     assert fc2["features"][0]["geometry"] is None
 
+    # ... and a row-level NULL geometry (column present) must serialize
+    # the same way, not as {"type":"LineString"} with coordinates dropped
+    df3 = spark.createDataFrame(
+        [("w1", 57, [[13.0, 52.0], [13.1, 52.1]]), ("w2", 3, None)],
+        "id string, index long, geom_lonlat array<array<double>>")
+    fc3 = collect_feature_collection(df3)
+    by_id = {f["properties"]["id"]: f for f in fc3["features"]}
+    assert by_id["w2"]["geometry"] is None
+    assert by_id["w1"]["geometry"]["coordinates"][0] == [13.0, 52.0]
+    out3 = str(tmp_path / "gj_rownull")
+    write_geojsonl(df3, out3)
+    recs = [json.loads(r["value"])
+            for r in spark.read.text(out3).collect()]
+    assert {r["properties"]["id"]: r["geometry"] is None
+            for r in recs} == {"w1": False, "w2": True}
+
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-bucketed tables join without a shuffle (SURVEY §4 co-location)."""
