@@ -283,9 +283,18 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     ordered = ev0.orderBy("ts").withColumn(
         "chunk", SF.ntile(4).over(
             __import__("pyspark").sql.window.Window.orderBy("ts")))
+    import os
+    stamped: set[str] = set()
     for c in (1, 2, 3, 4):
         (ordered.filter(SF.col("chunk") == c).drop("chunk")
          .coalesce(1).write.mode("append").parquet(src))
+        # FileStreamSource orders by mtime; sequential writes can tie on
+        # the same tick and scramble replay — stamp strictly increasing
+        for fname in os.listdir(src):
+            p = os.path.join(src, fname)
+            if p not in stamped and os.path.isfile(p):
+                os.utime(p, (1_600_000_000 + c * 60,) * 2)
+                stamped.add(p)
 
     stream = (spark.readStream
               .schema(ev0.schema)
