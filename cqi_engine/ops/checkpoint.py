@@ -21,6 +21,7 @@ partition/lineage discipline is unchanged.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -120,10 +121,20 @@ def read_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+_METRICS_SEQ = itertools.count()
+
+
 def write_metrics(out_dir: str, stage: str, metrics: dict) -> None:
-    """Append a metrics record (the `_metrics` table of SURVEY §4.2.6)."""
+    """Append a metrics record (the `_metrics` table of SURVEY §4.2.6).
+
+    File name carries (pid, per-process sequence) beyond the millisecond
+    stamp: two records for the same stage in the same ms (or from two
+    driver processes) must append, not silently overwrite each other.
+    """
     mdir = os.path.join(out_dir, "_metrics")
     os.makedirs(mdir, exist_ok=True)
-    fname = os.path.join(mdir, f"{stage}-{int(time.time() * 1000)}.json")
-    with open(fname, "w", encoding="utf-8") as fh:
+    fname = os.path.join(
+        mdir, f"{stage}-{int(time.time() * 1000)}"
+              f"-{os.getpid()}-{next(_METRICS_SEQ)}.json")
+    with open(fname, "x", encoding="utf-8") as fh:
         json.dump({"stage": stage, **metrics}, fh)

@@ -23,9 +23,16 @@ from pyspark.sql import functions as F
 
 def write_cell_partitioned(df: DataFrame, path: str, cell_col: str = "cell",
                            bucket_div: int = 100) -> None:
-    """Partition directories on cell//bucket_div, sort files by cell."""
+    """Partition directories on cell//bucket_div, sort files by cell.
+
+    floor(), not a double-divide cast: CAST(x AS LONG) truncates toward
+    zero, so negative cell ids (south/west of the origin — np.floor cell
+    assignment produces them) would land in a bucket one off from the
+    Python `//` floor the read side prunes with, silently losing rows.
+    """
     (df.withColumn("cell_bucket",
-                   (F.col(cell_col) / F.lit(bucket_div)).cast("long"))
+                   F.floor(F.col(cell_col) / F.lit(bucket_div))
+                   .cast("long"))
      .repartition("cell_bucket")
      .sortWithinPartitions(cell_col)
      .write.mode("overwrite")

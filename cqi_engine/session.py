@@ -58,7 +58,7 @@ def build_session(app_name: str = "cqi-engine", master: str | None = None,
     return builder.getOrCreate()
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def ship_package(spark: SparkSession) -> None:
@@ -69,7 +69,10 @@ def ship_package(spark: SparkSession) -> None:
     harness may import ``__spark_entry__`` from anywhere).  Zip the package
     and register it via ``addPyFile`` — idempotent per session.
     """
-    key = id(spark)
+    # applicationId, not id(spark): CPython recycles object addresses, so
+    # a stopped session's id can be reused by a fresh one and the early
+    # return would silently skip addPyFile on its new SparkContext
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     import tempfile
@@ -104,7 +107,10 @@ def tune_runtime(spark: SparkSession) -> None:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"),
-        ("spark.sql.shuffle.partitions", "64"),
+        # same default AND same env knob as build_session — plan/bench
+        # evidence must reproduce identically on both session paths
+        ("spark.sql.shuffle.partitions",
+         str(int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32")))),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:

@@ -24,6 +24,31 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _input_snapshot_id(input_dir: str, n_buckets: int) -> str:
+    """Identity of the work a lineage record certifies.
+
+    The bare input PATH is not enough: (a) regenerating the data at the
+    same path must invalidate resume (stale output would be served as
+    current), and (b) the bucket count defines what rows each partition
+    id covers — rerunning with a different --n-buckets under the same
+    stamp would skip old partitions and duplicate their rows across the
+    new layout.  Stamp = path + n_buckets + a digest of the input files'
+    (name, size, mtime) — the parquet-world stand-in for a real Iceberg
+    snapshot id, which is what a production caller would pass instead.
+    """
+    import hashlib
+    h = hashlib.sha256()
+    root = os.path.join(input_dir, "documents.parquet")
+    paths = [root] if os.path.isfile(root) else sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root) for f in fs)
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, input_dir)}:"
+                 f"{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return f"{input_dir}#n={n_buckets}#{h.hexdigest()[:16]}"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="sf dir with documents.parquet")
@@ -52,8 +77,9 @@ def main() -> None:
                                       F.lit(args.n_buckets)) == int(pid))
             return score_way_table(ways_from_documents(part))
 
+        snap = _input_snapshot_id(args.input, args.n_buckets)
         result = run_partitioned(spark, args.output, pids, job,
-                                 input_snapshot=args.input)
+                                 input_snapshot=snap)
         write_metrics(args.output, "score_job",
                       {"ran": result["ran"], "skipped": result["skipped"]})
         print(f"ran={result['ran']} skipped={result['skipped']}")

@@ -1201,3 +1201,170 @@ def test_extract_ways_quarantines_pages_without_geometry(spark):
            for r in extract_ways(pages, ["highway"]).collect()}
     assert set(got) == {"u1", "u4"}
     assert got["u4"] == [[13.1, 52.5], [13.2, 52.6]]
+
+
+# --------------------------------------------- round-4 review-fix pinning ----
+def test_warc_write_rejects_payload_with_boundary_marker(tmp_path):
+    """A payload containing the record boundary marker is unrepresentable
+    in the write_warc framing: written verbatim it would split into two
+    records on read and silently truncate the text (breaking the
+    byte-identical per-url invariant).  Pinned: fail loudly at write."""
+    import pandas as pd
+
+    from cqi_engine.sources.warc import _DELIM, write_warc
+
+    pdf = pd.DataFrame([{
+        "url": "http://evil.example/1",
+        "warc_ts": pd.Timestamp("2026-01-01"),
+        "text": f"before{_DELIM}after",
+        "lang": "en",
+    }])
+    with pytest.raises(ValueError, match="boundary marker"):
+        write_warc(pdf, str(tmp_path / "bad.warc"))
+
+
+def test_warc_read_refuses_standard_blank_line_framing(spark, tmp_path):
+    """A STANDARD-framed WARC (blank-line + Content-Length records, no
+    boundary markers) is not splittable by the lineSep reader — it would
+    collapse the whole file to ONE row with near-total silent data loss.
+    Pinned: the scan sniffs the first file and fails loudly instead."""
+    from cqi_engine.sources.warc import read_warc
+
+    rec = ("WARC/1.0\r\n"
+           "WARC-Type: conversion\r\n"
+           "WARC-Target-URI: http://std.example/{i}\r\n"
+           "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           "Content-Length: 7\r\n"
+           "\r\n"
+           "payload\r\n\r\n")
+    path = str(tmp_path / "standard.warc")
+    with open(path, "w", encoding="utf-8", newline="") as fh:
+        fh.write(rec.format(i=1) + rec.format(i=2))
+    with pytest.raises(ValueError, match="STANDARD-framed"):
+        read_warc(spark, path)
+
+
+def test_metrics_records_append_not_overwrite(tmp_path):
+    """Two metrics records for the same stage in the same millisecond (or
+    from two drivers) must BOTH survive — the `_metrics` table is an
+    append-only log, and a timestamp-only file name silently overwrote
+    the first record.  Pinned via back-to-back same-ms writes."""
+    import glob
+    import json
+
+    from cqi_engine.ops.checkpoint import write_metrics
+
+    out = str(tmp_path / "job_out")
+    for i in range(5):  # back-to-back: several pairs land in the same ms
+        write_metrics(out, "score_job", {"ran": i})
+    files = glob.glob(str(tmp_path / "job_out" / "_metrics" / "*.json"))
+    assert len(files) == 5
+    vals = sorted(json.load(open(f))["ran"] for f in files)
+    assert vals == [0, 1, 2, 3, 4]
+
+
+def test_cell_layout_negative_cells_prune_and_roundtrip(spark, tmp_path):
+    """Cell grids centred on an origin produce NEGATIVE cell ids (south/
+    west rows).  CAST(x/div AS LONG) truncates toward zero, so -50 landed
+    in bucket 0 while the read side pruned with Python floor (-1) —
+    silently losing every negative-cell row near the axis.  Pinned:
+    floor()-bucketed write, read_cell_range returns exactly the filter
+    semantics across the sign boundary."""
+    from cqi_engine.ops.layout import read_cell_range, write_cell_partitioned
+
+    df = spark.range(-250, 250).withColumnRenamed("id", "cell")
+    path = str(tmp_path / "neg_cells")
+    write_cell_partitioned(df, path)
+
+    for lo, hi in [(-199, -1), (-50, 49), (-250, 249), (0, 99)]:
+        got = sorted(r["cell"] for r in
+                     read_cell_range(spark, path, lo, hi).collect())
+        assert got == list(range(lo, hi + 1)), (lo, hi)
+
+
+def test_ship_package_keyed_by_application_id():
+    """ship_package's idempotence guard must key on applicationId, not
+    id(spark): CPython recycles object addresses, so a stopped session's
+    id can be reused by a fresh one whose SparkContext never got the
+    zip.  Pinned with a stub: same object, new applicationId -> a second
+    addPyFile; same applicationId -> skipped."""
+    from cqi_engine import session as sess_mod
+
+    calls = []
+
+    class _Ctx:
+        applicationId = "app-test-ship-A"
+
+        def addPyFile(self, p):
+            calls.append((self.applicationId, p))
+
+    class _Spark:
+        sparkContext = _Ctx()
+
+    s = _Spark()
+    try:
+        sess_mod.ship_package(s)
+        sess_mod.ship_package(s)          # same app id: no re-ship
+        assert len(calls) == 1
+        _Ctx.applicationId = "app-test-ship-B"   # "new session, same id()"
+        sess_mod.ship_package(s)
+        assert len(calls) == 2
+    finally:
+        sess_mod._SHIPPED_SESSIONS.discard("app-test-ship-A")
+        sess_mod._SHIPPED_SESSIONS.discard("app-test-ship-B")
+
+
+def test_tune_runtime_matches_build_session_shuffle(monkeypatch):
+    """tune_runtime must set the SAME shuffle-partition default and honor
+    the SAME env knob as build_session — plan/bench evidence has to
+    reproduce identically whichever session path built the session."""
+    from cqi_engine.session import tune_runtime
+
+    class _Conf:
+        def __init__(self):
+            self.vals = {}
+
+        def set(self, k, v):
+            self.vals[k] = v
+
+    class _Spark:
+        def __init__(self):
+            self.conf = _Conf()
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
+    s = _Spark()
+    tune_runtime(s)
+    assert s.conf.vals["spark.sql.shuffle.partitions"] == "32"
+
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "128")
+    s2 = _Spark()
+    tune_runtime(s2)
+    assert s2.conf.vals["spark.sql.shuffle.partitions"] == "128"
+
+
+def test_score_job_snapshot_id_tracks_input_and_buckets(tmp_path):
+    """Checkpoint-resume lineage must certify the WORK, not the path:
+    regenerating the input at the same path or rerunning with a different
+    --n-buckets must invalidate resume (stale/misaligned partitions would
+    otherwise be served as current).  Pinned on the parquet stand-in for
+    an Iceberg snapshot id."""
+    import importlib.util
+    import os
+    import time
+
+    spec = importlib.util.spec_from_file_location(
+        "score_job_test", os.path.join(os.path.dirname(__file__),
+                                       "..", "jobs", "score_job.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    f = sf / "documents.parquet"
+    f.write_bytes(b"stand-in parquet bytes")
+
+    base = mod._input_snapshot_id(str(sf), 8)
+    assert base == mod._input_snapshot_id(str(sf), 8)   # deterministic
+    assert base != mod._input_snapshot_id(str(sf), 16)  # bucket layout
+    os.utime(f, ns=(time.time_ns(), time.time_ns() + 1))
+    assert base != mod._input_snapshot_id(str(sf), 8)   # regenerated input
