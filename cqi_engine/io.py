@@ -29,6 +29,10 @@ def read_geojson_lines(path: str) -> pd.DataFrame:
         props["geom_lonlat"] = np.asarray(geom["coordinates"], dtype=float)
         rows.append(props)
     df = pd.DataFrame(rows)
+    if df.empty:
+        # zero LineString features: return the documented columns rather
+        # than KeyError on df["geom_lonlat"]
+        return pd.DataFrame({"geom_lonlat": [], "geom_metric": []})
     # tags arrive as strings; normalize missing to None (single dict->frame
     # rebuild, not per-column inserts — avoids pandas fragmentation)
     data = {
@@ -49,6 +53,18 @@ def feature_frame(fc: dict) -> pd.DataFrame:
                          for f in fc.get("features", [])])
 
 
+def _json_default(v):
+    """iterrows yields numpy scalars (np.int64 is NOT json-serializable;
+    np.float64 only passes because it subclasses float) — unwrap them."""
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    raise TypeError(f"not JSON serializable: {type(v)}")
+
+
 def write_geojson(df: pd.DataFrame, path: str,
                   coords_col: str = "geom_lonlat") -> None:
     feats = []
@@ -57,11 +73,14 @@ def write_geojson(df: pd.DataFrame, path: str,
                  for k, v in row.items()
                  if k not in (coords_col, "geom_metric", "geom_lonlat")}
         geom = None
-        if coords_col in df.columns and row[coords_col] is not None:
+        # pandas marks a missing geometry as float NaN, not None — both
+        # must serialize as "geometry": null, never "coordinates": NaN
+        g = row[coords_col] if coords_col in df.columns else None
+        if g is not None and not (isinstance(g, float) and np.isnan(g)):
             geom = {"type": "LineString",
-                    "coordinates": np.asarray(row[coords_col]).tolist()}
+                    "coordinates": np.asarray(g).tolist()}
         feats.append({"type": "Feature", "properties": props,
                       "geometry": geom})
     with open(path, "w", encoding="utf-8") as fh:
         json.dump({"type": "FeatureCollection", "features": feats}, fh,
-                  ensure_ascii=False)
+                  ensure_ascii=False, default=_json_default)

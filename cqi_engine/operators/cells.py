@@ -82,6 +82,11 @@ def parent_cell_np(cell: np.ndarray, parent_res: int) -> np.ndarray:
     rest = cell // SHIFT
     ix = rest % SHIFT - OFFSET
     res = rest // SHIFT
+    # same contract as the scalar twin: a negative shift count makes
+    # np.left_shift produce undefined values SILENTLY — wrong parents
+    # would corrupt every rollup join downstream
+    if np.any(res - parent_res < 0):
+        raise ValueError("parent_res must be coarser (smaller)")
     factor = np.left_shift(np.int64(1), (res - parent_res).astype(np.int64))
     pix = np.floor_divide(ix, factor) + OFFSET
     piy = np.floor_divide(iy, factor) + OFFSET

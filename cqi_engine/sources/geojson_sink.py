@@ -20,9 +20,12 @@ def _feature_struct(df: DataFrame, geometry_col: str | None):
     props = [c for c in df.columns if c != geometry_col]
     prop_struct = F.struct(*[F.col(c) for c in props])
     if geometry_col is None:
-        geom = F.lit(None).cast("string").alias("geometry")
+        # no geometry member at all: every row takes the _no_geom path
+        # and _null_geom splices the explicit '"geometry":null' after
+        # serialization (a lit(None) member would be dropped by
+        # ignoreNullFields anyway)
         return F.struct(F.lit("Feature").alias("type"),
-                        prop_struct.alias("properties"), geom)
+                        prop_struct.alias("properties"))
     # a row-level NULL geometry must null the whole member: serializing
     # the struct as-is would emit {"type":"LineString"} with the
     # coordinates member dropped by ignoreNullFields — spec-invalid
@@ -36,16 +39,19 @@ def _feature_struct(df: DataFrame, geometry_col: str | None):
                     geom.alias("geometry"))
 
 
-# to_json's default ignoreNullFields drops null struct members, which is
-# right for null PROPERTIES (OGR omits unset attributes) but spec-fatal
-# for the geometry member: RFC 7946 requires every Feature to carry a
-# "geometry" key, null or not, and strict parsers reject lines without
-# it.  Keep the default for the feature body and splice an explicit
-# "geometry":null into geometry-less features after serialization —
-# both when the COLUMN is absent and when a ROW's geometry is NULL.
-_NULL_GEOM = F.concat(
-    F.expr("substring(value, 1, length(value) - 1)"),
-    F.lit(',"geometry":null}'))
+def _null_geom():
+    """to_json's default ignoreNullFields drops null struct members, which
+    is right for null PROPERTIES (OGR omits unset attributes) but
+    spec-fatal for the geometry member: RFC 7946 requires every Feature to
+    carry a "geometry" key, null or not, and strict parsers reject lines
+    without it.  Keep the default for the feature body and splice an
+    explicit "geometry":null into geometry-less features after
+    serialization — both when the COLUMN is absent and when a ROW's
+    geometry is NULL.  Built lazily: Column construction asserts an
+    active SparkContext, so a module-level constant would crash any
+    import that happens before a session exists."""
+    return F.concat(F.expr("substring(value, 1, length(value) - 1)"),
+                    F.lit(',"geometry":null}'))
 
 
 def _features_json(df: DataFrame, gcol: str | None):
@@ -54,7 +60,7 @@ def _features_json(df: DataFrame, gcol: str | None):
         (F.lit(True) if gcol is None else F.col(gcol).isNull())
         .alias("_no_geom"))
     return feats.select(
-        F.when(F.col("_no_geom"), _NULL_GEOM)
+        F.when(F.col("_no_geom"), _null_geom())
         .otherwise(F.col("value")).alias("value"))
 
 

@@ -115,11 +115,17 @@ def parse_way_text(text: str) -> dict | None:
             if key == "id":
                 rec["id"] = val
             elif key == "tags":
-                rec.update(json.loads(val))
+                tags = json.loads(val)
+                if not isinstance(tags, dict):
+                    # valid JSON but not an object ('tags: 3',
+                    # 'tags: [1,2]'): rec.update() would raise TypeError
+                    # and kill the task for one dirty page — quarantine
+                    return None
+                rec.update(tags)
             elif key == "geom":
                 rec["geom_lonlat"] = json.loads(val)
         return rec
-    except (ValueError, json.JSONDecodeError, IndexError):
+    except (ValueError, TypeError, json.JSONDecodeError, IndexError):
         return None
 
 

@@ -358,11 +358,21 @@ def digest_scored(scored: DataFrame) -> DataFrame:
     return scored.mapInPandas(run, schema)
 
 
-def flagship_full_expected(sf_dir: str) -> pd.DataFrame:
+def scored_pandas(sf_dir: str) -> pd.DataFrame:
+    """Full scored frame from the PANDAS reference path (the expensive
+    step both flagship expectations project from — compute it once when
+    you need both)."""
+    from ..kernel.pipeline import final_projection, score_ways
+    return final_projection(score_ways(ways_pandas(sf_dir)))
+
+
+def flagship_full_expected(sf_dir: str,
+                           scored: pd.DataFrame | None = None
+                           ) -> pd.DataFrame:
     """(id, side, row_sha) from the PANDAS reference path — the fixture
     the distributed full-output digest is graded against."""
-    from ..kernel.pipeline import final_projection, score_ways
-    scored = final_projection(score_ways(ways_pandas(sf_dir)))
+    if scored is None:
+        scored = scored_pandas(sf_dir)
     return digest_rows_pdf(scored).reset_index(drop=True)
 
 
@@ -404,7 +414,8 @@ def ways_pandas(sf_dir: str) -> pd.DataFrame:
     return ways
 
 
-def flagship_expected(sf_dir: str) -> pd.DataFrame:
+def flagship_expected(sf_dir: str,
+                      scored: pd.DataFrame | None = None) -> pd.DataFrame:
     """The flagship-oracle expectation: score `sf_dir`'s corpus through the
     PANDAS kernel (the golden-verified single-process reference path —
     kernel/pipeline.py + kernel/sidepath.py, no Spark, no shuffles) and
@@ -415,6 +426,6 @@ def flagship_expected(sf_dir: str) -> pd.DataFrame:
     batch scoring) reproduces the reference semantics, independent of
     partitioning.
     """
-    from ..kernel.pipeline import final_projection, score_ways
-    scored = final_projection(score_ways(ways_pandas(sf_dir)))
+    if scored is None:
+        scored = scored_pandas(sf_dir)
     return scored[FLAGSHIP_PROJECTION].reset_index(drop=True)

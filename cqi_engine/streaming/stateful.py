@@ -54,6 +54,9 @@ STATE_SCHEMA = T.StructType([
     T.StructField("last_ms", T.ArrayType(T.LongType())),
     T.StructField("n", T.ArrayType(T.LongType())),
     T.StructField("vsum", T.ArrayType(T.DoubleType())),
+    # non-NULL value count: SUM over only NULLs is NULL, not 0.0 — the
+    # emit needs to know whether vsum ever saw a value
+    T.StructField("nv", T.ArrayType(T.LongType())),
 ])
 
 GAP_MS = 30 * 60 * 1000
@@ -63,7 +66,7 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
                   state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
 
-    items: list[tuple[int, int, int, float]] = []
+    items: list[tuple[int, int, int, float, int]] = []
     if not state.hasTimedOut:
         for pdf in pdf_iter:
             for ms, val in zip(pdf["ms_ts"], pdf["value"]):
@@ -73,12 +76,15 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
                     # drop it anyway; Spark still delivers it in the
                     # batch it arrives in) — skip it, don't crash int(NaN)
                     continue
-                # SQL SUM semantics: NULL values don't poison the sum
+                # SQL SUM semantics: NULL values don't poison the sum;
+                # nv tracks whether the sum ever saw a real value (SUM of
+                # only NULLs must come out NULL, not 0.0)
                 items.append((int(ms), int(ms), 1,
-                              0.0 if pd.isna(val) else float(val)))
+                              0.0 if pd.isna(val) else float(val),
+                              0 if pd.isna(val) else 1))
     if state.exists:
-        starts, ends, ns, vs = state.get
-        items.extend(zip(starts, ends, ns, vs))
+        starts, ends, ns, vs, nvs = state.get
+        items.extend(zip(starts, ends, ns, vs, nvs))
 
     if not items:
         # every row in this batch had NULL event time and no prior state:
@@ -88,14 +94,14 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
 
     items.sort(key=lambda t: (t[0], t[1]))
     merged = []
-    cs, ce, cn, cv = items[0]
-    for s, e, n2, v2 in items[1:]:
+    cs, ce, cn, cv, cnv = items[0]
+    for s, e, n2, v2, nv2 in items[1:]:
         if s - ce <= GAP_MS:
-            ce, cn, cv = max(ce, e), cn + n2, cv + v2
+            ce, cn, cv, cnv = max(ce, e), cn + n2, cv + v2, cnv + nv2
         else:
-            merged.append((cs, ce, cn, cv))
-            cs, ce, cn, cv = s, e, n2, v2
-    merged.append((cs, ce, cn, cv))
+            merged.append((cs, ce, cn, cv, cnv))
+            cs, ce, cn, cv, cnv = s, e, n2, v2, nv2
+    merged.append((cs, ce, cn, cv, cnv))
 
     # final iff no admissible future event (ms >= wm) can merge:
     # merge needs ms - end <= gap, impossible once end + gap < wm
@@ -105,7 +111,8 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
 
     if live:
         state.update(([m[0] for m in live], [m[1] for m in live],
-                      [m[2] for m in live], [m[3] for m in live]))
+                      [m[2] for m in live], [m[3] for m in live],
+                      [m[4] for m in live]))
         # earliest pending expiry; replayed/late batches: the timeout
         # timestamp must be strictly ahead of the current watermark
         state.setTimeoutTimestamp(
@@ -115,10 +122,13 @@ def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame],
         state.remove()
 
     if expired:
+        # NaN converts to SQL NULL on the Arrow path — the all-NULL-value
+        # session emits value_sum NULL exactly like SUM(value) would
         yield pd.DataFrame([{
             "user_id": user_id, "session_start_ms": s,
-            "session_end_ms": e, "n_events": n, "value_sum": v,
-        } for s, e, n, v in expired])
+            "session_end_ms": e, "n_events": n,
+            "value_sum": (v if nv > 0 else None),
+        } for s, e, n, v, nv in expired])
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:

@@ -53,9 +53,11 @@ def _values_sql(df, cols) -> str:
 
 
 def main() -> None:
-    exp = flagship_expected(SF_DIR)
+    from cqi_engine.sources.webways import scored_pandas
+    scored = scored_pandas(SF_DIR)  # the expensive step — run it once
+    exp = flagship_expected(SF_DIR, scored=scored)
     sql = _values_sql(exp, FLAGSHIP_PROJECTION)
-    full = flagship_full_expected(SF_DIR)
+    full = flagship_full_expected(SF_DIR, scored=scored)
     full_sql = _values_sql(full, list(full.columns))
     body = (
         '"""Flagship-oracle fixture (GENERATED — do not edit by hand).\n\n'

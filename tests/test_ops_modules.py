@@ -239,6 +239,8 @@ def test_stateful_sessionize_survives_dirty_events(spark, tmp_path):
         (4, ts(120), 1, "a", 4.0, None),    # gap-separated second session
         (5, ts(600), 1, "a", 0.5, None),    # watermark flusher: wm ends at
                                             # 480 min, finalizing the rest
+        (6, ts(0), 2, "a", None, None),     # user 2: a session whose
+        (7, ts(1), 2, "a", None, None),     # values are ALL NULL
     ]
     ev = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, "
@@ -266,6 +268,8 @@ def test_stateful_sessionize_survives_dirty_events(spark, tmp_path):
         (1, base, base + 1 * m, 2, 1.0),
         (1, base + 120 * m, base + 120 * m, 1, 4.0),
         (None, base + 2 * m, base + 2 * m, 1, 3.0),
+        # SUM over only NULLs is NULL, not 0.0 (SQL semantics)
+        (2, base, base + 1 * m, 2, None),
     }
 
 
@@ -1368,3 +1372,93 @@ def test_score_job_snapshot_id_tracks_input_and_buckets(tmp_path):
     assert base != mod._input_snapshot_id(str(sf), 16)  # bucket layout
     os.utime(f, ns=(time.time_ns(), time.time_ns() + 1))
     assert base != mod._input_snapshot_id(str(sf), 8)   # regenerated input
+
+
+def test_parse_way_text_quarantines_non_dict_tags():
+    """'tags:' carrying valid-JSON-but-not-an-object ('3', '[1,2]') used
+    to raise TypeError from rec.update() and kill the whole mapInPandas
+    task — one dirty page taking down the byte range.  Pinned: such pages
+    quarantine to None like every other malformed envelope."""
+    from cqi_engine.sources.pages import parse_way_text, way_to_text
+
+    good = way_to_text("w_ok", {"highway": "path"},
+                       [[13.1, 52.5], [13.2, 52.6]])
+    assert parse_way_text(good) is not None
+    for bad_tags in ("3", "[1, 2]", '"str"', "null"):
+        bad = good.replace('tags: {"highway": "path"}', f"tags: {bad_tags}")
+        assert parse_way_text(bad) is None, bad_tags
+
+
+def test_geojson_sink_importable_without_spark_session():
+    """Building a pyspark Column asserts an active SparkContext, so a
+    module-level Column constant crashes any import that happens before a
+    session exists (job scripts import sinks at module top).  Pinned:
+    import in a fresh interpreter with no session."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import cqi_engine.sources.geojson_sink"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_read_geojson_lines_empty_feature_collection(tmp_path):
+    """Zero LineString features (all Points, or an empty collection) must
+    yield an empty frame with the documented columns, not KeyError."""
+    import json as _json
+
+    from cqi_engine.io import read_geojson_lines
+
+    for fc in ({"type": "FeatureCollection", "features": []},
+               {"type": "FeatureCollection", "features": [
+                   {"type": "Feature", "properties": {"highway": "path"},
+                    "geometry": {"type": "Point",
+                                 "coordinates": [13.1, 52.5]}}]}):
+        p = tmp_path / "fc.geojson"
+        p.write_text(_json.dumps(fc))
+        df = read_geojson_lines(str(p))
+        assert len(df) == 0
+        assert set(df.columns) >= {"geom_lonlat", "geom_metric"}
+
+
+def test_write_geojson_numpy_ints_and_nan_geometry(tmp_path):
+    """iterrows yields np.int64 scalars (json.dump rejects them) and
+    pandas marks missing geometry as float NaN, not None (which used to
+    serialize as the invalid-JSON token NaN inside coordinates).  Pinned:
+    ints serialize, NaN geometry emits "geometry": null, and the output
+    parses with a strict (no-NaN) JSON parser."""
+    import json as _json
+
+    import pandas as pd
+
+    from cqi_engine.io import write_geojson
+
+    df = pd.DataFrame({
+        "way_id": pd.array([1, 2], dtype="int64"),
+        "index_10": np.array([7, 9], dtype=np.int64),
+        "geom_lonlat": [np.array([[13.1, 52.5], [13.2, 52.6]]), np.nan],
+    })
+    p = tmp_path / "out.geojson"
+    write_geojson(df, str(p))
+    fc = _json.loads(p.read_text(), parse_constant=lambda c: (_ for _ in ())
+                     .throw(ValueError(f"non-strict JSON constant {c}")))
+    assert [f["properties"]["index_10"] for f in fc["features"]] == [7, 9]
+    assert fc["features"][0]["geometry"]["type"] == "LineString"
+    assert fc["features"][1]["geometry"] is None
+
+
+def test_parent_cell_np_rejects_finer_parent():
+    """np.left_shift with a negative shift count is UNDEFINED and silent —
+    swapped arguments would corrupt every rollup join downstream.  Pinned:
+    the vectorized twin raises exactly like the scalar one."""
+    from cqi_engine.operators.cells import (cell_id_np, parent_cell,
+                                            parent_cell_np)
+
+    c = int(cell_id_np(np.array([1000.0]), np.array([2000.0]), res=9)[0])
+    assert parent_cell_np(np.array([c]), 7)[0] == parent_cell(c, 7)
+    with pytest.raises(ValueError, match="coarser"):
+        parent_cell_np(np.array([c]), 12)
+    with pytest.raises(ValueError, match="coarser"):
+        parent_cell(c, 12)
