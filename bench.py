@@ -230,9 +230,21 @@ def _bench_streaming_sessionize(spark, sf_dir: str, timings: dict,
         # every chunk's view of the ntile
         ordered = ev.orderBy("ts").withColumn(
             "chunk", F.ntile(4).over(Window.orderBy("ts"))).persist()
+        # FileStreamSource orders files by mtime with unspecified
+        # tie-breaking; sequential writes can land on the same tick and
+        # replay a later-time chunk first, whose watermark then silently
+        # drops the earlier chunks' events (nondeterministic rows AND
+        # cost).  Stamp strictly increasing mtimes per chunk — same
+        # pinning as tests/test_ops_modules.py's replay tests.
+        stamped: set[str] = set()
         for c in (1, 2, 3, 4):
             (ordered.filter(F.col("chunk") == c).drop("chunk")
              .coalesce(1).write.mode("append").parquet(src))
+            for fname in os.listdir(src):
+                p = os.path.join(src, fname)
+                if p not in stamped and os.path.isfile(p):
+                    os.utime(p, (1_600_000_000 + c * 60,) * 2)
+                    stamped.add(p)
         ordered.unpersist()
 
         # State-store instances are per shuffle partition per microbatch;
@@ -270,10 +282,18 @@ def _bench_streaming_sessionize(spark, sf_dir: str, timings: dict,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:  # dir without a trailing sf<number>: still bench
+        sf = None
 
-    spark = build_session("cqi-bench", master=f"local[{cpus}]",
-                          shuffle_partitions=max(cpus * 2, 16))
+    # run_query applies tune_runtime, which (re)sets shuffle partitions
+    # from SPARK_GRAFT_SHUFFLE — export the bench's choice there so the
+    # builder AND every timed query run at the same, claimed setting
+    # (cpus*2, the configuration all recorded rounds measured at);
+    # explicit SPARK_GRAFT_SHUFFLE still wins.
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", str(max(cpus * 2, 16)))
+    spark = build_session("cqi-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
 

@@ -33,6 +33,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def null_nan_profile(tbl) -> dict:
+    """Per-column (n_null, n_nan) from the ARROW table — pandas folds SQL
+    NULL and float NaN together in float columns (both become NaN after
+    to_numeric), so a query regressing to NaN where the oracle says NULL
+    would compare equal.  Arrow keeps them distinct; order-insensitive
+    counts catch the swap."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    prof = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        n_nan = 0
+        if pa.types.is_floating(col.type):
+            n_nan = int(pc.sum(pc.is_nan(col.drop_null())).as_py() or 0)
+        prof[name] = (int(col.null_count), n_nan)
+    return prof
+
+
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     if a.shape != b.shape or list(a.columns) != list(b.columns):
         return False
@@ -69,23 +87,35 @@ def main() -> None:
 
     qs, osql = mod.queries(), mod.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        # a typo must not produce a zero-query green exit
+        print(f"unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(qs)}")
+        sys.exit(2)
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            # one execution per side: Arrow for the NULL/NaN profile,
+            # pandas (from the same Arrow table) for the value compare
+            sarrow = fn(spark, SF_DIR).toArrow()
+            sdf = sarrow.to_pandas()
             if name not in osql:
                 print(f"{name:28s} rows={len(sdf):7d}  (no oracle)")
                 continue
-            odf = con.sql(osql[name]).df()
+            oarrow = con.sql(osql[name]).arrow()
+            odf = oarrow.to_pandas()
             a, b = canon(sdf), canon(odf)
             rows = len(sdf) == len(odf)
             schema = list(a.columns) == list(b.columns)
-            vals = rows and schema and values_match(a, b)
+            nulls = null_nan_profile(sarrow) == null_nan_profile(oarrow)
+            vals = rows and schema and nulls and values_match(a, b)
             status = "OK " if (rows and schema and vals) else "FAIL"
             print(f"{name:28s} rows={len(sdf):7d} oracle={len(odf):7d} "
-                  f"rows_match={rows} schema={schema} values={vals} {status}")
+                  f"rows_match={rows} schema={schema} nulls={nulls} "
+                  f"values={vals} {status}")
             if status == "FAIL":
                 fails.append(name)
         except Exception as e:  # noqa: BLE001

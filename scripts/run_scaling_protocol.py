@@ -37,17 +37,25 @@ def git_sha() -> str:
     pooled min mixes timings of different code (this happened on
     2026-08-18: a pre-/post-join-rework pair pooled into one summary)."""
     try:
-        sha = subprocess.run(
+        log = subprocess.run(
             ["git", "-C", ROOT, "log", "-1", "--format=%h", "--",
              "cqi_engine", "scripts/scaling_bench.py"],
-            capture_output=True, text=True, timeout=10).stdout.strip()
+            capture_output=True, text=True, timeout=10)
+        sha = log.stdout.strip()
+        if log.returncode != 0 or not sha:
+            # a broken git yields '' for EVERY session — two sessions on
+            # different code would then share a label and the
+            # cross-session min pool would mix their timings
+            return "unknown"
         diff = subprocess.run(
             ["git", "-C", ROOT, "diff", "HEAD", "--",
              "cqi_engine", "scripts/scaling_bench.py"],
-            capture_output=True, text=True, timeout=10).stdout
-        if diff:
+            capture_output=True, text=True, timeout=10)
+        if diff.returncode != 0:
+            return "unknown"
+        if diff.stdout:
             import hashlib
-            sha += "+" + hashlib.sha256(diff.encode()).hexdigest()[:8]
+            sha += "+" + hashlib.sha256(diff.stdout.encode()).hexdigest()[:8]
         return sha
     except (OSError, subprocess.SubprocessError):
         # SubprocessError covers TimeoutExpired: a hung git must degrade
@@ -57,11 +65,15 @@ def git_sha() -> str:
 
 
 def _steal_snapshot() -> tuple[int, int]:
-    """(steal_jiffies, total_jiffies) from /proc/stat."""
-    with open("/proc/stat", encoding="ascii") as fh:
-        vals = [int(x) for x in fh.readline().split()[1:]]
-    steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    """(steal_jiffies, total_jiffies) from /proc/stat — fallback-protected
+    like bench.py's twin (a malformed /proc/stat must not kill a run that
+    already has timing data)."""
+    try:
+        with open("/proc/stat", encoding="ascii") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 1
 
 
 def _bracket_membw_gbps(workers: int = 8, tasks: int = 8,
@@ -95,8 +107,18 @@ def run_once(cpus: int, replicate: int, retries: int = 1) -> dict:
     for attempt in range(retries + 1):
         bw_pre = _bracket_membw_gbps()
         s0, t0 = _steal_snapshot()
-        out = subprocess.run([sys.executable, BENCH], env=env,
-                             capture_output=True, text=True, timeout=2400)
+        try:
+            out = subprocess.run([sys.executable, BENCH], env=env,
+                                 capture_output=True, text=True,
+                                 timeout=2400)
+        except subprocess.TimeoutExpired:
+            # a hung JVM is the same failure mode as a crashed one (the
+            # retry's whole reason to exist) — it must consume a retry,
+            # not abort the protocol and discard the session's runs
+            last_err = f"timeout after 2400s (local[{cpus}] R={replicate})"
+            print(f"  run local[{cpus}] R={replicate} attempt {attempt} "
+                  f"TIMED OUT", flush=True)
+            continue
         s1, t1 = _steal_snapshot()
         bw_post = _bracket_membw_gbps()
         lines = [ln for ln in out.stdout.splitlines()
@@ -195,19 +217,37 @@ def main() -> None:
 
     runs = []
     results = {}
-    for lo, hi, rep in pairs:
-        for r in range(args.reps):
-            for cpus in (lo, hi):  # alternating: steal bursts hit both
-                rec = run_once(cpus, rep)
-                rec["rep_idx"] = r
-                rec["session"] = session
-                rec["git_sha"] = sha
-                runs.append(rec)
-                key = (cpus, rep)
-                results.setdefault(key, []).append(rec["wall_s"])
-                print(f"run local[{cpus}] R={rep} rep{r}: "
-                      f"{rec['wall_s']}s (steal {rec.get('steal_pct')}%)",
-                      flush=True)
+    n_pages_by_rep: dict[int, int] = {}
+    try:
+        for lo, hi, rep in pairs:
+            for r in range(args.reps):
+                for cpus in (lo, hi):  # alternating: steal bursts hit both
+                    rec = run_once(cpus, rep)
+                    rec["rep_idx"] = r
+                    rec["session"] = session
+                    rec["git_sha"] = sha
+                    runs.append(rec)
+                    key = (cpus, rep)
+                    results.setdefault(key, []).append(rec["wall_s"])
+                    if rec.get("n_pages"):
+                        n_pages_by_rep[rep] = rec["n_pages"]
+                    print(f"run local[{cpus}] R={rep} rep{r}: "
+                          f"{rec['wall_s']}s (steal {rec.get('steal_pct')}%)",
+                          flush=True)
+    except Exception:
+        # a run that fails past its retries must not discard the hours of
+        # completed measurements: persist every finished raw run (prior
+        # pairs/summaries untouched) before propagating — the next
+        # same-sha session recovers them through the cross-session pool
+        if runs:
+            salvage = dict(prior)
+            salvage["runs"] = prior.get("runs", []) + runs
+            salvage["pairs"] = prior.get("pairs", [])
+            with open(out, "w", encoding="utf-8") as fh:
+                json.dump(salvage, fh, indent=1)
+            print(f"protocol aborted; salvaged {len(runs)} raw runs to "
+                  f"{out}", flush=True)
+        raise
 
     # cross-session min: prior recorded runs of the SAME code (git sha) and
     # SAME (parallelism, replicate) config extend the min-of-N pool — steal
@@ -232,7 +272,11 @@ def main() -> None:
         pair_summaries.append({
             "pair": f"local[{lo}] -> local[{hi}]",
             "replicate": rep,
-            "n_pages": rep * 5000,
+            # the MEASURED corpus size (rep*5000 only holds for the
+            # default sf0.1 documents table; a different SF_DIR would
+            # record a fabricated size and mislead the largest-n_pages
+            # record selection in bench._scaling_summary)
+            "n_pages": n_pages_by_rep.get(rep, rep * 5000),
             "t_n_s": t_lo, "t_4n_s": t_hi,
             "speedup": round(speedup, 2),
             "efficiency": round(eff, 3),

@@ -77,11 +77,26 @@ def run_once(cpus: int, replicate: int, sf_dir: str) -> dict:
     n_scored = score_way_table(ways_from_documents(expanded)).count()
     wall = time.perf_counter() - t0
 
+    # the status store is fed asynchronously by the listener bus: a scrape
+    # taken the instant count() returns can miss just-finished stages on
+    # one leg only, turning identical work into a spurious invariance
+    # failure — poll until the completed-stage set is stable
+    def _completed():
+        return _rest(ui, f"applications/{app_id}/stages?status=complete")
+
+    prev_ids: set | None = None
+    for _ in range(20):
+        cur = {s["stageId"] for s in _completed()}
+        if prev_ids is not None and cur == prev_ids:
+            break
+        prev_ids = cur
+        time.sleep(0.5)
+
     totals = {"input_bytes": 0, "shuffle_read_bytes": 0,
               "shuffle_write_bytes": 0, "input_records": 0,
               "shuffle_write_records": 0, "executor_run_time_ms": 0,
               "num_tasks": 0, "num_stages": 0}
-    for s in _rest(ui, f"applications/{app_id}/stages?status=complete"):
+    for s in _completed():
         if s["stageId"] in stages_before:
             continue
         totals["num_stages"] += 1
