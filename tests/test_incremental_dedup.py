@@ -1,0 +1,144 @@
+"""Incremental dedup (streaming/dedup.py) — semantics + invariance.
+
+The correctness anchor is the CATALOG's corpus-at-once pair query
+(`dedup_minhash_lsh`, itself DuckDB-oracle-verified): processing the same
+corpus incrementally must reach exactly the keep/drop decisions implied by
+that verified pair set, and the decisions must not depend on how the
+monotone feed is chopped into batches.
+"""
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/documents.parquet"),
+    reason="testdata missing")
+
+
+def _docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text"))
+
+
+def _run_batches(spark, docs, index_dir, splits):
+    """Chop docs by doc_id quantile bounds and run batches in order."""
+    from cqi_engine.streaming.dedup import incremental_dedup_batch
+    anns = []
+    for i, (lo, hi) in enumerate(splits):
+        batch = docs.filter(f"doc_id >= {lo} and doc_id < {hi}")
+        anns.append(incremental_dedup_batch(spark, batch, index_dir, i))
+    out = anns[0]
+    for a in anns[1:]:
+        out = out.unionByName(a)
+    return sorted(map(tuple, out.collect()))
+
+
+def _expected_from_catalog(spark):
+    """keep/drop per doc from the oracle-verified corpus-at-once pairs:
+    dropped iff a verified pair with a smaller-id partner exists; dup_of
+    is the smallest such partner and jaccard its (rounded) score."""
+    from cqi_engine.queries.catalog import CATALOG, run_query
+    pairs = run_query(spark, SF_DIR, CATALOG["dedup_minhash_lsh"]).collect()
+    best: dict[int, tuple[int, float]] = {}
+    for r in pairs:  # doc_a < doc_b by construction
+        cur = best.get(r["doc_b"])
+        cand = (r["doc_a"], r["jaccard"])
+        if cur is None or cand < cur:
+            best[r["doc_b"]] = cand
+    ids = [r["doc_id"] for r in
+           spark.read.parquet(f"{SF_DIR}/documents.parquet")
+           .select("doc_id").collect()]
+    out = []
+    for i in ids:
+        if i in best:
+            out.append((i, 0, best[i][0], best[i][1]))
+        else:
+            out.append((i, 1, None, None))
+    return sorted(out)
+
+
+def test_matches_corpus_at_once_catalog_pairs(spark, tmp_path):
+    docs = _docs(spark)
+    got = _run_batches(spark, docs, str(tmp_path / "ix"), [(0, 10**9)])
+    assert got == _expected_from_catalog(spark)
+
+
+def test_batch_size_invariance(spark, tmp_path):
+    docs = _docs(spark)
+    hi = docs.agg({"doc_id": "max"}).collect()[0][0] + 1
+    one = _run_batches(spark, docs, str(tmp_path / "ix1"), [(0, hi)])
+    thirds = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]
+    three = _run_batches(spark, docs, str(tmp_path / "ix3"), thirds)
+    assert one == three
+
+
+def test_replay_idempotent(spark, tmp_path):
+    from cqi_engine.streaming.dedup import (committed_batches,
+                                            incremental_dedup_batch)
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+    incremental_dedup_batch(spark, b1, ix, 0)
+    first = sorted(map(tuple,
+                       incremental_dedup_batch(spark, b2, ix, 1).collect()))
+    # replay batch 1 after its commit: a doc's smaller-id batch-mates are
+    # now ALSO in the index — decisions must not change, and the commit
+    # must overwrite in place (manifest still two entries)
+    replay = sorted(map(tuple,
+                        incremental_dedup_batch(spark, b2, ix, 1).collect()))
+    assert replay == first
+    assert [e["batch_id"] for e in committed_batches(ix)] == [0, 1]
+
+
+def test_uncommitted_batch_is_invisible(spark, tmp_path):
+    from cqi_engine.streaming.dedup import (committed_batches,
+                                            incremental_dedup_batch)
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 250")
+    # commit=False models a batch that died before its manifest commit
+    incremental_dedup_batch(spark, b1, ix, 0, commit=False)
+    assert committed_batches(ix) == []
+    # the next run over the SAME docs sees an empty index: every doc
+    # annotates exactly as in a fresh one-batch run
+    fresh = _run_batches(spark, b1, str(tmp_path / "ix2"), [(0, 250)])
+    after = sorted(map(tuple,
+                       incremental_dedup_batch(spark, b1, ix, 0).collect()))
+    assert after == fresh
+
+
+def test_streaming_sink_matches_batch_path(spark, tmp_path):
+    """The foreachBatch wiring reaches the same annotations as calling
+    the batch API directly on the same two monotone chunks."""
+    import pyspark.sql.functions as F
+
+    docs = _docs(spark).orderBy("doc_id")
+    src = str(tmp_path / "src")
+    for i, (lo, hi) in enumerate([(0, 250), (250, 10**9)]):
+        (docs.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1)
+         .write.mode("append").parquet(src))
+        # pin replay order: FileStreamSource orders by mtime
+        for fname in os.listdir(src):
+            p = os.path.join(src, fname)
+            if os.path.isfile(p) and os.path.getmtime(p) > 1_700_000_000:
+                os.utime(p, (1_600_000_000 + i * 60,) * 2)
+
+    from cqi_engine.streaming.dedup import dedup_sink
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dedup_sink(stream, str(tmp_path / "ix_s"), out,
+                    str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = sorted(map(tuple, spark.read.parquet(out)
+                 .select("doc_id", "is_novel", "dup_of", "jaccard")
+                 .collect()))
+    want = _run_batches(spark, _docs(spark), str(tmp_path / "ix_b"),
+                        [(0, 250), (250, 10**9)])
+    assert got == want
