@@ -279,6 +279,38 @@ def _bench_streaming_sessionize(spark, sf_dir: str, timings: dict,
         shutil.rmtree(td, ignore_errors=True)
 
 
+def _bench_incremental_dedup(spark, sf_dir: str, timings: dict,
+                             row_counts: dict) -> None:
+    """Time the incremental-dedup operator (streaming/dedup.py): the
+    documents table replayed as two monotone batches against a fresh
+    persisted band index.  The timed window covers BOTH batches including
+    their index commits — the parquet index writes ARE the operator's
+    cost (that persistence is the point), which is why this entry is
+    inherently heavier than the corpus-at-once `dedup_minhash_lsh` doing
+    comparable pair work with no index to maintain."""
+    import shutil
+    import tempfile
+
+    from cqi_engine.streaming.dedup import incremental_dedup_batch
+
+    ix = tempfile.mkdtemp(prefix="bench_incdedup_")
+    try:
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text"))
+        mid = (docs.agg({"doc_id": "max"}).collect()[0][0] or 0) // 2
+        t0 = time.perf_counter()
+        a1 = incremental_dedup_batch(
+            spark, docs.filter(f"doc_id < {mid}"), ix, 0)
+        a2 = incremental_dedup_batch(
+            spark, docs.filter(f"doc_id >= {mid}"), ix, 1)
+        dups = (a1.filter("is_novel = 0").count()
+                + a2.filter("is_novel = 0").count())
+        timings["incremental_dedup"] = round(time.perf_counter() - t0, 3)
+        row_counts["incremental_dedup"] = dups
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -319,6 +351,7 @@ def main() -> None:
         row_counts[name] = run_query(spark, sf_dir, CATALOG[name]).count()
         timings[name] = round(time.perf_counter() - t0, 3)
     _bench_streaming_sessionize(spark, sf_dir, timings, row_counts)
+    _bench_incremental_dedup(spark, sf_dir, timings, row_counts)
     # adaptive re-measure: this VM's host steal / co-tenant bandwidth
     # collapse inflates individual runs up to ~4x.  A query whose first
     # run looks >1.5x slower than the prior round gets exactly one retry

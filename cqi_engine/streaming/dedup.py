@@ -184,6 +184,12 @@ def incremental_dedup_batch(spark, batch_docs: DataFrame, index_dir: str,
     cand = candidates(bands_new, bands_new)
     if seen_bands is not None:
         cand = cand.unionByName(candidates(bands_new, seen_bands))
+    # the band self-join's output inherits the skewed band-bucket layout;
+    # without an exchange the Jaccard arithmetic runs on the few
+    # partitions holding the hot template buckets (the catalog measured
+    # 60 s vs 6-7 s for the corpus-at-once twin) — rebalance the narrow
+    # pair rows before the verify joins
+    cand = cand.hint("rebalance")
 
     all_toks = toks_new
     if seen_toks is not None:
