@@ -391,6 +391,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "parallelism": cpus,
+        "codec": spark.conf.get("spark.io.compression.codec"),
         "host_steal_pct": steal_pct,
         "host_membw_gbps": [membw_pre, membw_post],
         "pages_per_sec": round(n_pages / cqi_sec, 1) if cqi_sec else None,
@@ -402,6 +403,7 @@ def main() -> None:
     detail = {
         "rows": row_counts,
         "timings": timings,
+        "shuffle_codec": spark.conf.get("spark.io.compression.codec"),
         "host_steal_pct_during_timed_loop": steal_pct,
         "host_membw_gbps_pre_post": [membw_pre, membw_post],
         "prior_round": prior_name,

@@ -17,12 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, key: str,
-                   n_buckets: int = 16, path: str | None = None) -> None:
+                   n_buckets: int = 16, path: str | None = None,
+                   partition_by: str | None = None,
+                   mode: str = "overwrite") -> None:
     """Persist `df` as a bucketed+sorted table on `key` (external when
-    `path` given — the warehouse dir is a static conf)."""
-    writer = (df.write.mode("overwrite")
+    `path` given — the warehouse dir is a static conf).
+
+    `partition_by` + mode="append" is the incremental-index shape
+    (streaming/dedup.py): each append lands a NEW partition directory of
+    bucketed files, so per-partition visibility can be gated externally
+    (manifest) while every reader still gets the table-level bucket spec
+    — joins on `key` co-locate without an Exchange on this side."""
+    writer = (df.write.mode(mode)
               .bucketBy(n_buckets, key).sortBy(key)
               .format("parquet"))
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)

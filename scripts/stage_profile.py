@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=400)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default: <repo>/STAGEPROF.json)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -101,15 +103,66 @@ def main() -> None:
     rows.sort(key=lambda r: -(r["stage_wall_s"] or 0))
     covered = sum(r["stage_wall_s"] for r in rows
                   if r["stage_wall_s"] == r["stage_wall_s"])
+    # dominant-stage parallelism: the 3 stages carrying the most executor
+    # task time, wall-weighted — THE number that says whether the job
+    # still fills the requested cores (a par collapse here is the scaling
+    # regression byte metrics can't see)
+    dom = sorted(rows, key=lambda r: -(r["task_time_s"] or 0))[:3]
+    dom_wall = sum(r["stage_wall_s"] for r in dom
+                   if r["stage_wall_s"] == r["stage_wall_s"]) or float("nan")
+    dom_par = round(sum(r["task_time_s"] for r in dom) / dom_wall, 2) \
+        if dom_wall == dom_wall and dom_wall > 0 else None
     print(json.dumps({"cpus": args.cpus, "replicate": args.replicate,
                       "n_way_scores": n, "wall_s": round(wall, 2),
                       "sum_stage_wall_s": round(covered, 2),
-                      "n_stages": len(rows)}))
+                      "n_stages": len(rows),
+                      "dominant_par": dom_par}))
     for r in rows:
         print(f"  stage {r['stage']:>4} wall {r['stage_wall_s']:>7}s "
               f"gap {r['submit_gap_s']:>5}s tasks {r['tasks']:>4} "
               f"par {str(r['par']):>6} in {r['in_mb']:>8}MB "
               f"shR {r['sh_r_mb']:>7}MB shW {r['sh_w_mb']:>7}MB  {r['name']}")
+
+    # per-round committed artifact (VERDICT r4 item 8): the profile that
+    # used to run ad hoc, recorded like WORKINV.json so par-degradation
+    # regressions are caught round-over-round the way byte regressions
+    # are.  tests/test_bench_contract.py parses and sanity-checks it.
+    import subprocess
+    try:
+        sha = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True, cwd=ROOT,
+                             timeout=30).stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        sha = None
+    artifact = {
+        "generated_utc": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+        "git_sha": sha,
+        "cpus": args.cpus,
+        "replicate": args.replicate,
+        "sf_dir": args.sf_dir,
+        "wall_s": round(wall, 2),
+        "n_way_scores": n,
+        "n_stages": len(rows),
+        "dominant_par": dom_par,
+        "dominant_stages": [
+            {k: r[k] for k in ("stage", "name", "tasks", "stage_wall_s",
+                               "task_time_s", "par")} for r in dom],
+        "stages": rows,
+    }
+    def _denan(v):
+        if isinstance(v, float) and v != v:
+            return None
+        if isinstance(v, dict):
+            return {k: _denan(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_denan(x) for x in v]
+        return v
+
+    out_path = args.out or os.path.join(ROOT, "STAGEPROF.json")
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(_denan(artifact), fh, indent=1)
+    print(f"wrote {out_path}")
     spark.stop()
 
 

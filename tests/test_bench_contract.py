@@ -126,3 +126,28 @@ def test_prior_round_times_nonempty_in_this_repo():
     is exactly the round-2 failure shape."""
     name, timings = bench._prior_round_times()
     assert name is not None and timings
+
+
+def test_stageprof_artifact_parses_and_is_consistent():
+    """STAGEPROF.json (scripts/stage_profile.py) is a per-round committed
+    artifact like WORKINV.json: the flagship job's per-stage achieved
+    parallelism.  This contract pins the schema the round-over-round
+    par-regression comparison reads — if the artifact goes missing or
+    loses its dominant-stage summary, the regression check silently dies."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "STAGEPROF.json"), encoding="utf-8") as fh:
+        art = json.load(fh)
+    for key in ("generated_utc", "git_sha", "cpus", "wall_s",
+                "n_way_scores", "dominant_par", "dominant_stages", "stages"):
+        assert key in art, key
+    assert art["cpus"] >= 1 and art["wall_s"] > 0
+    assert art["n_way_scores"] > 0
+    assert 1 <= len(art["dominant_stages"]) <= 3
+    for s in art["dominant_stages"]:
+        assert s["task_time_s"] >= 0 and s["tasks"] >= 1
+    # achieved parallelism is bounded by the core count (small slack for
+    # clock skew in the UI's per-stage timestamps)
+    assert art["dominant_par"] is None or \
+        0 < art["dominant_par"] <= art["cpus"] * 1.15
+    pars = [s["par"] for s in art["stages"] if s.get("par")]
+    assert pars and all(0 < p <= art["cpus"] * 1.15 for p in pars)

@@ -134,11 +134,66 @@ def test_streaming_sink_matches_batch_path(spark, tmp_path):
     q = (dedup_sink(stream, str(tmp_path / "ix_s"), out,
                     str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # a False return means the 300 s timeout fired with the query still
+    # running — fail HERE, not later on an opaque partial-output row diff
+    assert q.awaitTermination(300), "streaming dedup query timed out"
 
     got = sorted(map(tuple, spark.read.parquet(out)
                  .select("doc_id", "is_novel", "dup_of", "jaccard")
                  .collect()))
     want = _run_batches(spark, _docs(spark), str(tmp_path / "ix_b"),
                         [(0, 250), (250, 10**9)])
+    assert got == want
+
+
+def test_crash_between_data_write_and_manifest(spark, tmp_path):
+    """Commit phase 1 (bucketed data files landed) without phase 2 (no
+    manifest entry) — the batch must be invisible, and the subsequent
+    healthy re-run must annotate exactly as on a fresh index and publish
+    a LATER attempt partition than the dead one."""
+    from cqi_engine.streaming.dedup import (band_frames, committed_batches,
+                                            incremental_dedup_batch,
+                                            _write_batch_data)
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 250")
+    toks, bands = band_frames(b1)
+    dead_part = _write_batch_data(spark, toks, bands, ix, 0)
+    assert committed_batches(ix) == []  # died before the manifest rename
+
+    fresh = _run_batches(spark, b1, str(tmp_path / "ix2"), [(0, 250)])
+    after = sorted(map(tuple,
+                       incremental_dedup_batch(spark, b1, ix, 0).collect()))
+    assert after == fresh
+    [entry] = committed_batches(ix)
+    assert entry["part"] != dead_part  # never re-enters a dead directory
+
+
+def test_crash_rerunning_committed_batch_leaves_it_intact(spark, tmp_path):
+    """The loss-proof property the old overwrite-in-place layout lacked:
+    a crash while RE-running an already-committed batch (new attempt's
+    data written, manifest rename never reached) must leave the committed
+    batch fully readable — the manifest still points at the old attempt's
+    untouched files, so later batches see identical history."""
+    from cqi_engine.streaming.dedup import (band_frames, committed_batches,
+                                            incremental_dedup_batch,
+                                            _write_batch_data)
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+    incremental_dedup_batch(spark, b1, ix, 0)
+    [entry0] = committed_batches(ix)
+    want = sorted(map(tuple,
+                      incremental_dedup_batch(spark, b2, ix, 1,
+                                              commit=False).collect()))
+
+    # crash mid-re-run of committed batch 0: phase 1 only
+    toks, bands = band_frames(b1)
+    _write_batch_data(spark, toks, bands, ix, 0)
+
+    assert committed_batches(ix)[0] == entry0  # still the old attempt
+    got = sorted(map(tuple,
+                     incremental_dedup_batch(spark, b2, ix, 1,
+                                             commit=False).collect()))
     assert got == want

