@@ -241,11 +241,22 @@ def _write_batch_data(spark, toks_new: DataFrame, bands_new: DataFrame,
     publishes it — a crash here leaves only dead files."""
     bands_tbl, toks_tbl = _ensure_tables(spark, index_dir)
     part = _next_attempt_part(index_dir, batch_id)
-    write_bucketed(bands_new.withColumn("batch", F.lit(part)),
+
+    def clustered(df: DataFrame, key: str) -> DataFrame:
+        # pre-shuffle into the bucket layout (pmod(hash, n) IS Spark's
+        # bucket-id function): without this every input task writes its
+        # own file per bucket it sees — tasks × buckets small files per
+        # batch, and the measured 2x wall on the whole operator.  One
+        # batch-sized exchange caps it at ~one file per bucket.
+        return df.repartition(
+            N_BUCKETS, F.expr(f"pmod(hash({key}), {N_BUCKETS})"))
+
+    write_bucketed(clustered(bands_new, "bk").withColumn("batch", F.lit(part)),
                    bands_tbl, "bk", N_BUCKETS,
                    path=os.path.join(index_dir, "bands"),
                    partition_by="batch", mode="append")
-    write_bucketed(toks_new.withColumn("batch", F.lit(part)),
+    write_bucketed(clustered(toks_new, "doc_id")
+                   .withColumn("batch", F.lit(part)),
                    toks_tbl, "doc_id", N_BUCKETS,
                    path=os.path.join(index_dir, "toks"),
                    partition_by="batch", mode="append")
@@ -303,29 +314,50 @@ def _annotate(toks_new: DataFrame, bands_new: DataFrame,
     inter = "size(array_intersect(ta_toks, tb_toks))"
     jac = f"(cast(inter as double) / (nt_a + nt_b - inter))"
 
-    def verify(cand: DataFrame, tb_toks: DataFrame) -> DataFrame:
-        """Fetch both token arrays, then score on rebalanced partitions."""
-        with_tb = (cand.alias("c").hint("shuffle_hash")
-                   .join(tb_toks.alias("tb"),
-                         F.expr("tb.doc_id = c.seen_id"))
-                   .selectExpr("c.doc_id", "c.seen_id", "c.nt_a", "c.nt_b",
-                               "tb.toks as tb_toks")
-                   .hint("rebalance"))
-        return (with_tb.alias("w")
-                .join(toks_new.alias("ta"),
-                      F.expr("ta.doc_id = w.doc_id"))
-                .selectExpr("w.doc_id", "w.seen_id", "w.nt_a", "w.nt_b",
-                            "w.tb_toks", "ta.toks as ta_toks")
+    def score(paired: DataFrame) -> DataFrame:
+        return (paired
                 .selectExpr("doc_id", "seen_id", "nt_a", "nt_b",
                             f"{inter} as inter")
                 .where(F.expr(f"{jac} >= {D.MINHASH_JACCARD}"))
                 .selectExpr("doc_id", "seen_id",
                             f"cast(round({jac}, 6) as double) as jaccard"))
 
-    verified = verify(candidates(bands_new, bands_new), toks_new)
+    def verify_self(cand: DataFrame) -> DataFrame:
+        """Batch-mate pairs: rebalance the NARROW pair rows off the
+        skewed band-bucket layout, then fetch both arrays from the
+        in-memory batch toks (broadcastable — batch-bounded)."""
+        paired = (cand.hint("rebalance").alias("c")
+                  .join(toks_new.alias("ta"),
+                        F.expr("ta.doc_id = c.doc_id"))
+                  .join(toks_new.alias("tb"),
+                        F.expr("tb.doc_id = c.seen_id"))
+                  .selectExpr("c.doc_id", "c.seen_id", "c.nt_a", "c.nt_b",
+                              "ta.toks as ta_toks", "tb.toks as tb_toks"))
+        return score(paired)
+
+    def verify_index(cand: DataFrame) -> DataFrame:
+        """Batch-vs-seen pairs: the seen arrays come off the bucketed
+        toks/ scan exchange-free (only the narrow candidate rows shuffle,
+        into the bucket layout — which is seen_id-hash-distributed, NOT
+        the skewed band layout, so no extra rebalance is needed or
+        wanted: it would move the fetched token arrays), then the batch
+        arrays join broadcast-style on top."""
+        paired = (cand.alias("c").hint("shuffle_hash")
+                  .join(seen_toks.alias("tb"),
+                        F.expr("tb.doc_id = c.seen_id"))
+                  .selectExpr("c.doc_id", "c.seen_id", "c.nt_a", "c.nt_b",
+                              "tb.toks as tb_toks")
+                  .alias("w")
+                  .join(toks_new.alias("ta"),
+                        F.expr("ta.doc_id = w.doc_id"))
+                  .selectExpr("w.doc_id", "w.seen_id", "w.nt_a", "w.nt_b",
+                              "w.tb_toks", "ta.toks as ta_toks"))
+        return score(paired)
+
+    verified = verify_self(candidates(bands_new, bands_new))
     if seen_bands is not None:
         verified = verified.unionByName(
-            verify(candidates(bands_new, seen_bands), seen_toks))
+            verify_index(candidates(bands_new, seen_bands)))
 
     return (verified.groupBy("doc_id")
             .agg(F.min(F.struct("seen_id", "jaccard")).alias("m"))

@@ -55,7 +55,8 @@ def competing_load() -> str:
         out = subprocess.run(
             ["pgrep", "-af",
              "pytest|bench[.]py|scaling_bench[.]py|spark-submit"
-             "|work_invariance|run_scaling_protocol"],
+             "|work_invariance|run_scaling_protocol"
+             "|codec_ab[.]py|stage_profile[.]py"],
             capture_output=True, text=True, timeout=10).stdout
     except (OSError, subprocess.SubprocessError):
         return ""
