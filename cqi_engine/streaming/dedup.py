@@ -35,7 +35,9 @@ properties made real instead of merely named:
   * **Bucketed data files** (the manifest-gated analog of an Iceberg
     bucket-partitioned table): ``bands/`` is one Spark bucketed table on
     ``bk`` and ``toks/`` one on ``doc_id``, both partitioned by a
-    ``batch`` string column, written via ``ops.bucketing.write_bucketed``.
+    ``batch`` string column, written via ``ops.bucketing.write_bucketed``;
+    the bucket count is pinned at index creation in a ``BUCKETS`` sidecar
+    so every later session reads/writes the recorded layout.
     The per-batch band join therefore streams the index scan WITHOUT an
     Exchange (only the small batch side shuffles, into the index's bucket
     layout), and the verify join streams the bucketed ``toks/`` scan the
@@ -79,10 +81,13 @@ from ..operators import dialect as D
 from ..ops.bucketing import write_bucketed
 
 _MIXM = (1 << 31) - 1
-# bucket count for the persisted index tables.  Caps the no-exchange band
-# and verify joins' task count (buckets cannot be split), so it tracks the
+# bucket count for NEW persisted indexes.  Caps the no-exchange band and
+# verify joins' task count (buckets cannot be split), so it tracks the
 # deployment's core count — env knob for the scaling protocol; at 100 TB
-# this is hundreds-to-thousands, set once at index creation.
+# this is hundreds-to-thousands.  Set ONCE at index creation and pinned
+# in the index's BUCKETS sidecar: existing files are hashed into their
+# recorded bucket count, so later sessions must keep reading/writing that
+# layout regardless of their own env value (_index_buckets).
 N_BUCKETS = int(os.environ.get("SPARK_GRAFT_INDEX_BUCKETS", "32"))
 
 
@@ -180,12 +185,29 @@ _BANDS_DDL_COLS = ("doc_id BIGINT, nt INT, band_idx INT, bk BIGINT, "
 _TOKS_DDL_COLS = "doc_id BIGINT, toks ARRAY<STRING>"
 
 
-def _ensure_tables(spark, index_dir: str) -> tuple[str, str]:
+def _index_buckets(index_dir: str) -> int:
+    """The index's bucket count, pinned AT CREATION in a sidecar file:
+    files are hashed into buckets once, so a session whose env knob
+    differs must keep reading/writing the recorded layout — registering
+    the wrong count would silently mis-co-locate every join."""
+    path = os.path.join(index_dir, "BUCKETS")
+    try:
+        with open(path, encoding="ascii") as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(path, "w", encoding="ascii") as fh:
+            fh.write(str(N_BUCKETS))
+        return N_BUCKETS
+
+
+def _ensure_tables(spark, index_dir: str) -> tuple[str, str, int]:
     """Register the index's bucketed tables in THIS session's catalog if
     data exists on disk but the (session-scoped) registration does not —
     the resume-from-a-fresh-session path.  recoverPartitions re-discovers
     every attempt partition directory; visibility stays manifest-gated."""
     bands_tbl, toks_tbl = _table_names(index_dir)
+    nb = _index_buckets(index_dir)
     for tbl, sub, cols, key in (
             (bands_tbl, "bands", _BANDS_DDL_COLS, "bk"),
             (toks_tbl, "toks", _TOKS_DDL_COLS, "doc_id")):
@@ -196,9 +218,9 @@ def _ensure_tables(spark, index_dir: str) -> tuple[str, str]:
             f"CREATE TABLE {tbl} ({cols}, batch STRING) USING PARQUET "
             f"PARTITIONED BY (batch) "
             f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'")
+            f"INTO {nb} BUCKETS LOCATION '{loc}'")
         spark.catalog.recoverPartitions(tbl)
-    return bands_tbl, toks_tbl
+    return bands_tbl, toks_tbl, nb
 
 
 def _seen_frames(spark, index_dir: str):
@@ -207,7 +229,7 @@ def _seen_frames(spark, index_dir: str):
     batches = committed_batches(index_dir)
     if not batches:
         return None, None
-    bands_tbl, toks_tbl = _ensure_tables(spark, index_dir)
+    bands_tbl, toks_tbl, _ = _ensure_tables(spark, index_dir)
     parts = [e["part"] for e in batches]
     bands = (spark.table(bands_tbl)
              .where(F.col("batch").isin(parts)).drop("batch"))
@@ -239,7 +261,7 @@ def _write_batch_data(spark, toks_new: DataFrame, bands_new: DataFrame,
     fresh attempt partition of each index table.  Returns the attempt
     token; the batch stays INVISIBLE until phase 2 (_commit_manifest)
     publishes it — a crash here leaves only dead files."""
-    bands_tbl, toks_tbl = _ensure_tables(spark, index_dir)
+    bands_tbl, toks_tbl, nb = _ensure_tables(spark, index_dir)
     part = _next_attempt_part(index_dir, batch_id)
 
     def clustered(df: DataFrame, key: str) -> DataFrame:
@@ -248,16 +270,15 @@ def _write_batch_data(spark, toks_new: DataFrame, bands_new: DataFrame,
         # own file per bucket it sees — tasks × buckets small files per
         # batch, and the measured 2x wall on the whole operator.  One
         # batch-sized exchange caps it at ~one file per bucket.
-        return df.repartition(
-            N_BUCKETS, F.expr(f"pmod(hash({key}), {N_BUCKETS})"))
+        return df.repartition(nb, F.expr(f"pmod(hash({key}), {nb})"))
 
     write_bucketed(clustered(bands_new, "bk").withColumn("batch", F.lit(part)),
-                   bands_tbl, "bk", N_BUCKETS,
+                   bands_tbl, "bk", nb,
                    path=os.path.join(index_dir, "bands"),
                    partition_by="batch", mode="append")
     write_bucketed(clustered(toks_new, "doc_id")
                    .withColumn("batch", F.lit(part)),
-                   toks_tbl, "doc_id", N_BUCKETS,
+                   toks_tbl, "doc_id", nb,
                    path=os.path.join(index_dir, "toks"),
                    partition_by="batch", mode="append")
     return part

@@ -197,3 +197,51 @@ def test_crash_rerunning_committed_batch_leaves_it_intact(spark, tmp_path):
                      incremental_dedup_batch(spark, b2, ix, 1,
                                              commit=False).collect()))
     assert got == want
+
+
+def test_batch_write_file_count_bounded_by_buckets(spark, tmp_path):
+    """Regression guard for the bucketed-write fan-out: without the
+    pre-shuffle into the bucket layout, every input task writes its own
+    file per bucket it sees — tasks x buckets files per batch (measured
+    2x wall on the whole operator).  Each committed attempt partition
+    must hold at most N_BUCKETS data files per table."""
+    from cqi_engine.streaming.dedup import (N_BUCKETS, committed_batches,
+                                            incremental_dedup_batch)
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    incremental_dedup_batch(spark, docs.filter("doc_id < 250"), ix, 0)
+    [entry] = committed_batches(ix)
+    for sub in ("bands", "toks"):
+        d = os.path.join(ix, sub, f"batch={entry['part']}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert 0 < len(files) <= N_BUCKETS, (sub, len(files))
+
+
+def test_bucket_count_pinned_at_index_creation(spark, tmp_path, monkeypatch):
+    """The BUCKETS sidecar wins over a later session's env knob: files
+    are hashed into buckets once, so batch 2 must keep the creation-time
+    layout even when N_BUCKETS has changed — otherwise the bucketed scan
+    metadata would mis-describe the files and joins would silently
+    mis-co-locate."""
+    from cqi_engine.streaming import dedup
+
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+    dedup.incremental_dedup_batch(spark, b1, ix, 0)
+    pinned = dedup._index_buckets(ix)
+
+    want = _run_batches(spark, _docs(spark), str(tmp_path / "ix_ref"),
+                        [(0, 250), (250, 10**9)])
+
+    monkeypatch.setattr(dedup, "N_BUCKETS", pinned * 2)
+    got1 = sorted(map(tuple,
+                      dedup.incremental_dedup_batch(spark, b2, ix, 1)
+                      .collect()))
+    assert dedup._index_buckets(ix) == pinned  # sidecar untouched
+    [_, entry1] = dedup.committed_batches(ix)
+    d = os.path.join(ix, "bands", f"batch={entry1['part']}")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) <= pinned  # batch 2 wrote the PINNED layout
+    assert got1 == [t for t in want if t[0] >= 250]
