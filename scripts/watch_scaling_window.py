@@ -56,7 +56,8 @@ def competing_load() -> str:
             ["pgrep", "-af",
              "pytest|bench[.]py|scaling_bench[.]py|spark-submit"
              "|work_invariance|run_scaling_protocol"
-             "|codec_ab[.]py|stage_profile[.]py"],
+             "|codec_ab[.]py|stage_profile[.]py"
+             "|check_oracles[.]py|incdedup_scale_profile[.]py"],
             capture_output=True, text=True, timeout=10).stdout
     except (OSError, subprocess.SubprocessError):
         return ""
