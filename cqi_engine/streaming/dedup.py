@@ -238,11 +238,12 @@ def _seen_frames(spark, index_dir: str):
     return bands, toks
 
 
-def _next_attempt_part(index_dir: str, batch_id: int) -> str:
-    """Fresh attempt-suffixed partition token for this batch: strictly
-    after every attempt already on disk (committed or dead), so no write
-    ever lands in a directory a reader might be holding."""
-    prefix = f"batch={batch_id:06d}-a"
+def _next_attempt_part(index_dir: str, stem: str) -> str:
+    """Fresh attempt-suffixed partition token for `stem` (a zero-padded
+    batch id, or "compact"): strictly after every attempt already on
+    disk (committed or dead), so no write ever lands in a directory a
+    reader might be holding."""
+    prefix = f"batch={stem}-a"
     nxt = 0
     base = os.path.join(index_dir, "bands")
     if os.path.isdir(base):
@@ -252,17 +253,15 @@ def _next_attempt_part(index_dir: str, batch_id: int) -> str:
                     nxt = max(nxt, int(d[len(prefix):]) + 1)
                 except ValueError:
                     continue
-    return f"{batch_id:06d}-a{nxt}"
+    return f"{stem}-a{nxt}"
 
 
-def _write_batch_data(spark, toks_new: DataFrame, bands_new: DataFrame,
-                      index_dir: str, batch_id: int) -> str:
-    """Phase 1 of the commit: land the batch's bucketed data files in a
-    fresh attempt partition of each index table.  Returns the attempt
-    token; the batch stays INVISIBLE until phase 2 (_commit_manifest)
+def _write_attempt(spark, toks_df: DataFrame, bands_df: DataFrame,
+                   index_dir: str, part: str) -> None:
+    """Land bucketed data files in attempt partition `part` of each index
+    table.  The partition stays INVISIBLE until a manifest rewrite
     publishes it — a crash here leaves only dead files."""
     bands_tbl, toks_tbl, nb = _ensure_tables(spark, index_dir)
-    part = _next_attempt_part(index_dir, batch_id)
 
     def clustered(df: DataFrame, key: str) -> DataFrame:
         # pre-shuffle into the bucket layout (pmod(hash, n) IS Spark's
@@ -272,15 +271,22 @@ def _write_batch_data(spark, toks_new: DataFrame, bands_new: DataFrame,
         # batch-sized exchange caps it at ~one file per bucket.
         return df.repartition(nb, F.expr(f"pmod(hash({key}), {nb})"))
 
-    write_bucketed(clustered(bands_new, "bk").withColumn("batch", F.lit(part)),
+    write_bucketed(clustered(bands_df, "bk").withColumn("batch", F.lit(part)),
                    bands_tbl, "bk", nb,
                    path=os.path.join(index_dir, "bands"),
                    partition_by="batch", mode="append")
-    write_bucketed(clustered(toks_new, "doc_id")
+    write_bucketed(clustered(toks_df, "doc_id")
                    .withColumn("batch", F.lit(part)),
                    toks_tbl, "doc_id", nb,
                    path=os.path.join(index_dir, "toks"),
                    partition_by="batch", mode="append")
+
+
+def _write_batch_data(spark, toks_new: DataFrame, bands_new: DataFrame,
+                      index_dir: str, batch_id: int) -> str:
+    """Phase 1 of the commit: see _write_attempt.  Returns the token."""
+    part = _next_attempt_part(index_dir, f"{batch_id:06d}")
+    _write_attempt(spark, toks_new, bands_new, index_dir, part)
     return part
 
 
@@ -443,3 +449,46 @@ def dedup_sink(docs_stream: DataFrame, index_dir: str, out_dir: str,
 
     return (docs_stream.writeStream.foreachBatch(_fb)
             .option("checkpointLocation", checkpoint_dir))
+
+
+def compact_index(spark, index_dir: str) -> dict:
+    """Index maintenance (Iceberg's rewrite-data-files, on the stand-in):
+    fold every committed batch's bands/toks into ONE fresh attempt
+    partition per table and swap the manifest to a single entry, so a
+    daily-batch index does not accumulate partitions (and their file
+    listings and per-partition bucket files) forever.
+
+    Same snapshot discipline as batch commits: the compacted partitions
+    are written FIRST (invisible), then one atomic manifest rename
+    publishes them — a crash mid-compaction leaves the old manifest
+    pointing at the old partitions, all intact.  Superseded partitions
+    become dead files (pre-vacuum garbage).  The read side goes through
+    the raw committed partition paths, not the session tables, so the
+    rewrite never reads a table it is appending to.
+
+    The compacted entry carries ``batch_id -1`` (sorts first; real feed
+    ids are >= 0, so a replayed stream batch can never REPLACE it — a
+    replay after compaction appends its rows redundantly next to the
+    compacted copy, which is wasted bytes but never a wrong answer: the
+    min-aggregation collapses duplicate candidate pairs, and the drop
+    predicate is seen-set-membership, unchanged by duplicates).
+
+    Dedup semantics are untouched: the seen-set is the union of committed
+    rows, and compaction rewrites exactly that union.  Returns a small
+    summary dict."""
+    entries = committed_batches(index_dir)
+    if len(entries) <= 1:
+        return {"compacted": False, "n_entries": len(entries)}
+    parts = [e["part"] for e in entries]
+    bands = spark.read.parquet(
+        *[os.path.join(index_dir, "bands", f"batch={p}") for p in parts])
+    toks = spark.read.parquet(
+        *[os.path.join(index_dir, "toks", f"batch={p}") for p in parts])
+    part = _next_attempt_part(index_dir, "compact")
+    _write_attempt(spark, toks, bands, index_dir, part)
+    n_docs = sum(int(e["n_docs"]) for e in entries)
+    _write_manifest(index_dir, [{
+        "batch_id": -1, "part": part, "n_docs": n_docs,
+        "compacted_from": [int(e["batch_id"]) for e in entries]}])
+    return {"compacted": True, "n_entries": len(entries),
+            "part": part, "n_docs": n_docs}

@@ -245,3 +245,106 @@ def test_bucket_count_pinned_at_index_creation(spark, tmp_path, monkeypatch):
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     assert len(files) <= pinned  # batch 2 wrote the PINNED layout
     assert got1 == [t for t in want if t[0] >= 250]
+
+
+def test_compact_index_preserves_decisions(spark, tmp_path):
+    """Compaction folds all committed batches into one partition set and
+    must not change any subsequent batch's annotations; the compacted
+    tables hold at most one attempt partition of <= nb files each."""
+    from cqi_engine.streaming import dedup
+
+    docs = _docs(spark)
+    hi = docs.agg({"doc_id": "max"}).collect()[0][0] + 1
+    cuts = [(0, hi // 3), (hi // 3, 2 * hi // 3)]
+    last = (2 * hi // 3, hi)
+
+    # reference: three plain incremental batches
+    want = _run_batches(spark, docs, str(tmp_path / "ref"), cuts + [last])
+
+    # compacted path: two batches, compact, then the third
+    ix = str(tmp_path / "ix")
+    anns = []
+    for i, (lo, up) in enumerate(cuts):
+        anns.append(dedup.incremental_dedup_batch(
+            spark, docs.filter(f"doc_id >= {lo} and doc_id < {up}"), ix, i))
+    summary = dedup.compact_index(spark, ix)
+    assert summary["compacted"] and summary["n_entries"] == 2
+    [entry] = dedup.committed_batches(ix)
+    assert entry["batch_id"] == -1 and entry["compacted_from"] == [0, 1]
+    assert entry["n_docs"] == sum(
+        len(a.collect()) for a in anns)
+
+    pinned = dedup._index_buckets(ix)
+    d = os.path.join(ix, "bands", f"batch={entry['part']}")
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert 0 < len(files) <= pinned
+
+    lo, up = last
+    anns.append(dedup.incremental_dedup_batch(
+        spark, docs.filter(f"doc_id >= {lo} and doc_id < {up}"), ix, 2))
+    out = anns[0]
+    for a in anns[1:]:
+        out = out.unionByName(a)
+    assert sorted(map(tuple, out.collect())) == want
+
+
+def test_crash_mid_compaction_leaves_old_manifest_live(spark, tmp_path):
+    """Compaction's data write without the manifest swap (crash) must
+    leave the old entries live and subsequent batches unaffected."""
+    from cqi_engine.streaming import dedup
+
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 200")
+    b2 = docs.filter("doc_id >= 200 and doc_id < 350")
+    b3 = docs.filter("doc_id >= 350")
+    dedup.incremental_dedup_batch(spark, b1, ix, 0)
+    dedup.incremental_dedup_batch(spark, b2, ix, 1)
+    before = dedup.committed_batches(ix)
+
+    # crash: write the compacted attempt, never swap the manifest
+    parts = [e["part"] for e in before]
+    bands = spark.read.parquet(
+        *[os.path.join(ix, "bands", f"batch={p}") for p in parts])
+    toks = spark.read.parquet(
+        *[os.path.join(ix, "toks", f"batch={p}") for p in parts])
+    dedup._write_attempt(spark, toks, bands, ix,
+                         dedup._next_attempt_part(ix, "compact"))
+
+    assert dedup.committed_batches(ix) == before
+    got = sorted(map(tuple,
+                     dedup.incremental_dedup_batch(spark, b3, ix, 2,
+                                                   commit=False).collect()))
+    want = [t for t in _run_batches(
+        spark, docs, str(tmp_path / "ref"),
+        [(0, 200), (200, 350), (350, 10**9)]) if t[0] >= 350]
+    assert got == want
+
+
+def test_replay_after_compaction_is_harmless(spark, tmp_path):
+    """A stream replaying an already-compacted batch appends its rows
+    redundantly next to the compacted copy — wasted bytes by design,
+    never a changed decision for later batches."""
+    from cqi_engine.streaming import dedup
+
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+    dedup.incremental_dedup_batch(spark, b1, ix, 0)
+    dedup.compact_index(spark, ix)  # n_entries == 1: no-op
+    assert dedup.committed_batches(ix)[0]["batch_id"] == 0
+    dedup.incremental_dedup_batch(spark, b1, ix, 0)  # replay batch 0
+    dedup.incremental_dedup_batch(spark, b2, ix, 1)
+    dedup.compact_index(spark, ix)
+    # replay AFTER a real compaction
+    dedup.incremental_dedup_batch(spark, b1, ix, 0)
+    ids = [e["batch_id"] for e in dedup.committed_batches(ix)]
+    assert ids == [-1, 0]  # compacted entry survives alongside the replay
+    got = sorted(map(tuple,
+                     dedup.incremental_dedup_batch(spark, b2, ix, 1,
+                                                   commit=False).collect()))
+    want = [t for t in _run_batches(spark, docs, str(tmp_path / "ref"),
+                                    [(0, 250), (250, 10**9)])
+            if t[0] >= 250]
+    assert got == want
