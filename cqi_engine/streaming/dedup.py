@@ -492,3 +492,43 @@ def compact_index(spark, index_dir: str) -> dict:
         "compacted_from": [int(e["batch_id"]) for e in entries]}])
     return {"compacted": True, "n_entries": len(entries),
             "part": part, "n_docs": n_docs}
+
+
+def vacuum_index(spark, index_dir: str) -> dict:
+    """Index maintenance (Iceberg's expire-snapshots/remove-orphans, on
+    the stand-in): delete every attempt partition NOT referenced by the
+    current manifest — superseded re-run attempts, dead crashed writes,
+    and pre-compaction partitions.
+
+    Runs under the index's single-WRITER contract like every mutation;
+    concurrent READERS planned against an older manifest may still hold
+    superseded partitions, so — exactly like Iceberg snapshot expiry —
+    vacuum only after in-flight readers of older snapshots are done.
+    The manifest itself is never touched: vacuuming cannot change
+    visibility, only reclaim dead bytes (idempotent).  The session
+    tables' partition metadata is refreshed afterwards so a registered
+    catalog never points at removed directories."""
+    import shutil
+
+    live = {e["part"] for e in committed_batches(index_dir)}
+    removed: list[str] = []
+    bands_tbl, toks_tbl = _table_names(index_dir)
+    for sub, tbl in (("bands", bands_tbl), ("toks", toks_tbl)):
+        base = os.path.join(index_dir, sub)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            if not d.startswith("batch="):
+                continue
+            part = d[len("batch="):]
+            if part in live:
+                continue
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            if spark.catalog.tableExists(tbl):
+                spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS "
+                          f"PARTITION (batch='{part}')")
+            removed.append(f"{sub}/{d}")
+    for tbl in (bands_tbl, toks_tbl):
+        if spark.catalog.tableExists(tbl):
+            spark.catalog.refreshTable(tbl)
+    return {"removed": sorted(removed), "live_parts": sorted(live)}

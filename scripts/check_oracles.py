@@ -78,6 +78,14 @@ def main() -> None:
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "32")
+             # the plain-builder default is 1g driver heap; at the sf0.1
+             # scale-decade sweep dedup_components (~895k verified pairs
+             # through the pointer-jumping rounds) OOMs there, killing the
+             # session and erroring every later query.  Match the engine
+             # session's sizing — this mirror grades correctness, and the
+             # real driver grades at sf0.01 where 1g suffices.
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

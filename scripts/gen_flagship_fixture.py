@@ -25,7 +25,12 @@ from cqi_engine.sources.webways import (FLAGSHIP_PROJECTION,
                                         flagship_expected,
                                         flagship_full_expected)
 
-SF_DIR = "/root/testdata/sf0.01"
+# the COMMITTED fixture is always sf0.01 (the driver grades there); the
+# env override exists for the scale-decade sweep procedure: regenerate at
+# sf0.1, run scripts/check_oracles.py at sf0.1 with the fixture queries
+# included, then regenerate back (test_oracle_parity pins freshness)
+SF_DIR = os.environ.get("SPARK_GRAFT_FIXTURE_SF_DIR",
+                        "/root/testdata/sf0.01")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "cqi_engine", "queries", "_flagship_fixture.py")
 
@@ -62,7 +67,7 @@ def main() -> None:
     body = (
         '"""Flagship-oracle fixture (GENERATED — do not edit by hand).\n\n'
         "Produced by scripts/gen_flagship_fixture.py from the PANDAS\n"
-        "reference path over /root/testdata/sf0.01; pinned fresh by\n"
+        f"reference path over {SF_DIR}; pinned fresh by\n"
         "tests/test_oracle_parity.py::test_flagship_fixture_fresh.\n\n"
         "FIXTURE_SQL grades the 5-column deterministic projection;\n"
         "FULL_FIXTURE_SQL grades a per-row sha256 digest covering ALL 38\n"

@@ -348,3 +348,45 @@ def test_replay_after_compaction_is_harmless(spark, tmp_path):
                                     [(0, 250), (250, 10**9)])
             if t[0] >= 250]
     assert got == want
+
+
+def test_vacuum_removes_only_dead_attempts(spark, tmp_path):
+    """Vacuum reclaims superseded re-run attempts, crashed writes, and
+    pre-compaction partitions — and cannot change any visible state:
+    manifest untouched, subsequent batch decisions identical."""
+    from cqi_engine.streaming import dedup
+
+    docs = _docs(spark)
+    ix = str(tmp_path / "ix")
+    b1 = docs.filter("doc_id < 200")
+    b2 = docs.filter("doc_id >= 200 and doc_id < 350")
+    b3 = docs.filter("doc_id >= 350")
+    dedup.incremental_dedup_batch(spark, b1, ix, 0)
+    dedup.incremental_dedup_batch(spark, b1, ix, 0)   # re-run: dead a0
+    # crashed write: dead attempt, never in the manifest
+    toks, bands = dedup.band_frames(b2)
+    dedup._write_batch_data(spark, toks, bands, ix, 1)
+    dedup.incremental_dedup_batch(spark, b2, ix, 1)   # healthy re-run
+    dedup.compact_index(spark, ix)                    # supersedes both
+
+    before = dedup.committed_batches(ix)
+    out = dedup.vacuum_index(spark, ix)
+    assert dedup.committed_batches(ix) == before      # visibility intact
+    [entry] = before
+    assert out["live_parts"] == [entry["part"]]
+    # everything else is gone from disk: batch 0 a0+a1, batch 1 a0+a1
+    assert len(out["removed"]) == 8  # 4 dead parts x 2 tables
+    for sub in ("bands", "toks"):
+        dirs = [d for d in os.listdir(os.path.join(ix, sub))
+                if d.startswith("batch=")]
+        assert dirs == [f"batch={entry['part']}"]
+
+    got = sorted(map(tuple,
+                     dedup.incremental_dedup_batch(spark, b3, ix, 2)
+                     .collect()))
+    want = [t for t in _run_batches(
+        spark, docs, str(tmp_path / "ref"),
+        [(0, 200), (200, 350), (350, 10**9)]) if t[0] >= 350]
+    assert got == want
+    # idempotent: nothing left to reclaim
+    assert dedup.vacuum_index(spark, ix)["removed"] == []
