@@ -134,3 +134,49 @@ def test_flagship_digest_parity_at_sf01(tmp_path):
         res = json.load(fh)
     assert res["rows"] == 5926
     assert res["equal"], "sf0.1 Spark output diverges from pandas reference"
+
+
+_INCDEDUP_RUNNER = r"""
+import json, sys, tempfile
+sys.path.insert(0, "/root/repo")
+from cqi_engine.session import build_session, ship_package
+from cqi_engine.streaming.dedup import incremental_dedup_batch
+
+master, out = sys.argv[1], sys.argv[2]
+spark = build_session("consistency-incdedup", master=master,
+                      shuffle_partitions=5)
+spark.sparkContext.setLogLevel("ERROR")
+ship_package(spark)
+docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text"))
+ix = tempfile.mkdtemp(prefix="sc_incdedup_")
+anns = [incremental_dedup_batch(spark, docs.filter(f), ix, i)
+        for i, f in enumerate(["doc_id < 250", "doc_id >= 250"])]
+rows = sorted(sorted((k, str(v)) for k, v in r.asDict().items())
+              for a in anns for r in a.collect())
+with open(out, "w") as fh:
+    json.dump(rows, fh)
+spark.stop()
+"""
+
+
+def test_incremental_dedup_identical_across_parallelism(tmp_path):
+    """The persisted-index dedup must be partitioning-independent: the
+    bucketed index layout, the band/verify join shapes, and the
+    min-struct tie-breaking may not let executor count leak into
+    keep/drop decisions."""
+    import subprocess
+    import sys
+
+    def run(master, out):
+        subprocess.run([sys.executable, "-c", _INCDEDUP_RUNNER,
+                        master, out], check=True, timeout=600,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        with open(out, encoding="utf-8") as fh:
+            import json
+            return json.load(fh)
+
+    a = run("local[2]", str(tmp_path / "a.json"))
+    b = run("local[8]", str(tmp_path / "b.json"))
+    assert len(a) == len(b) > 0
+    assert a == b
